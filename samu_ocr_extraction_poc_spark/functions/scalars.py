@@ -1,0 +1,71 @@
+"""Scalar helpers: JS-parity parsing/formatting + Spark Column builders.
+
+Python reimplementations of the reference's scalar functions (SURVEY.md §2.7)
+with exact JS semantics where the reference depends on them, plus the
+JVM-side Column equivalents used by the SQL-expressible operator surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_FLOAT_RE = re.compile(r"^[+-]?(?:Infinity|\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)")
+
+
+def sanitize_expense_value(value: str) -> str:
+    """Strip ``$`` and ``,`` then trim — reference lib/utils.ts:4-6."""
+    return re.sub(r"[$,]", "", value).strip()
+
+
+def js_parse_float(s: str | None) -> float | None:
+    """JS ``parseFloat``: leading-prefix parse, NaN -> None.
+
+    Reference parseDocumentValue (stack.ExpenseSaver.ts:47-57) wraps
+    parseFloat and maps NaN to undefined; we map to None.
+    """
+    if s is None:
+        return None
+    m = _FLOAT_RE.match(s.strip())
+    if not m:
+        return None
+    tok = m.group(0)
+    if tok.endswith("Infinity"):
+        return float("-inf") if tok.startswith("-") else float("inf")
+    return float(tok)
+
+
+def to_fixed_2(x: float) -> str:
+    """JS ``Number.prototype.toFixed(2)`` — 2-decimal string, no thousands
+    separators (stack.ExpenseSaver.ts:213-228)."""
+    return f"{x:.2f}"
+
+
+def parse_document_value(raw: str | None) -> float | None:
+    """parseFloat(sanitize(raw)); NaN/empty -> None (ExpenseSaver.ts:47-57)."""
+    if not raw:
+        return None
+    return js_parse_float(sanitize_expense_value(raw))
+
+
+# ---------------------------------------------------------------------------
+# Column builders (JVM-side, codegen'd) for the same scalars — used by the
+# relational/oracle-checked surface.
+# ---------------------------------------------------------------------------
+
+
+def generate_id(col: Column) -> Column:
+    """sha256 hex of a key -> documentId (lib/utils.ts:8-12)."""
+    return F.sha2(col, 256)
+
+
+def sanitize_expense_value_col(col: Column) -> Column:
+    """C2: strip ``[$,]`` globally + trim (lib/utils.ts:4-6)."""
+    return F.trim(F.regexp_replace(col, r"[$,]", ""))
+
+
+def money_fixed_2(col: Column) -> Column:
+    """C4: numeric -> 2-decimal string without thousands separators."""
+    return F.col(col) if isinstance(col, str) else col.cast("decimal(38,2)").cast("string")

@@ -1,0 +1,287 @@
+"""Unit tests for the pure-Python per-document operators (SURVEY.md §5 item 2).
+
+Golden values are hand-computed from the reference semantics; file:line
+citations in the operator docstrings map each assertion back.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from samu_ocr_extraction_poc_spark import fixtures as FX
+from samu_ocr_extraction_poc_spark.functions.scalars import (
+    js_parse_float,
+    parse_document_value,
+    sanitize_expense_value,
+    to_fixed_2,
+)
+from samu_ocr_extraction_poc_spark.operators import medical
+from samu_ocr_extraction_poc_spark.operators.correspondence import (
+    fold_transcript_text,
+    parse_email,
+    parse_transcript,
+    transcript_sentiments,
+)
+from samu_ocr_extraction_poc_spark.operators.expense import expenses_by_page
+from samu_ocr_extraction_poc_spark.operators.html import strip_boilerplate
+from samu_ocr_extraction_poc_spark.operators.layout import reading_order_lines
+from samu_ocr_extraction_poc_spark.operators.pages import get_page_text, line_texts, real_pages
+from samu_ocr_extraction_poc_spark.operators.pleading import (
+    BadFormatError,
+    get_header,
+    get_numbered_paragraphs,
+    get_queries,
+)
+
+
+def lines(texts, start=0):
+    return [FX.span("line", t, offset=start + i) for i, t in enumerate(texts)]
+
+
+# --- A1 page grouping -------------------------------------------------------
+
+
+def test_page_text_leading_separator_and_one_based_hole():
+    spans = FX._seq(
+        [FX.span("page_break", "1"), FX.span("line", "a"), FX.span("line", "b"),
+         FX.span("page_break", "2"), FX.span("line", "c")]
+    )
+    pages = get_page_text(spans)
+    assert pages[0] is None  # 1-based hole (pleading TextSaver.ts:20-24)
+    assert pages[1] == " \n a \n b"  # leading ' \n ' incl. first line
+    assert pages[2] == " \n c"
+
+
+def test_page_text_without_markers_defaults_to_page_1():
+    pages = get_page_text(lines(["x", "y"]))
+    assert pages == [None, " \n x \n y"]
+
+
+def test_page_text_skips_empty_lines_and_real_pages_skips_holes():
+    spans = FX._seq([FX.span("page_break", "3"), FX.span("line", ""), FX.span("line", "z")])
+    pages = get_page_text(spans)
+    assert pages == [None, None, None, " \n z"]
+    assert real_pages(pages) == [" \n z"]
+
+
+# --- W1 header --------------------------------------------------------------
+
+
+def test_header_golden():
+    h = get_header(FX.pleading_doc())
+    assert h == {
+        "plaintifs": "JANE ROE,",
+        "caseNumber": "Cause No. 2116-CV12345",
+        "division": "Division 12",
+        "defendents": ["ACME HOSPITAL LLC,", "JOHN DOE M.D.,"],
+    }
+
+
+def test_header_missing_vs_raises():
+    with pytest.raises(BadFormatError, match="vs line"):
+        get_header(FX.bad_pleading_doc())
+
+
+def test_header_missing_defendant_raises():
+    with pytest.raises(BadFormatError, match="defendent"):
+        get_header(lines(["JANE ROE,", "Plaintiff,"]))
+
+
+def test_header_missing_case_number_raises():
+    with pytest.raises(BadFormatError, match="case number"):
+        get_header(lines(["JANE ROE,", "Plaintiff,", "vs.", "X", "Defendant."]))
+
+
+# --- W2 paragraphs ----------------------------------------------------------
+
+
+def test_paragraphs_golden_with_answer_tail():
+    blocks = [s for s in FX.pleading_doc() if s["kind"] == "line"]
+    paras = get_numbered_paragraphs(blocks)
+    assert paras == [
+        "1. Plaintiff is a resident of Jackson County, Missouri.",
+        "2. Defendant Acme Hospital LLC operates a hospital in Independence, Missouri.",
+        "3. On June 1, 2021 Plaintiff was admitted for care.",
+        "4. Defendants negligently failed to diagnose the condition.",
+        "5. As a direct result Plaintiff suffered damages in excess of $25,000.00? "
+        "ANSWER: Defendants deny each and every allegation.",
+    ]
+
+
+def test_paragraphs_marker_at_index_zero_not_started():
+    # strictly `index > 0` in the reference loop (stack.TextSaver.ts:146)
+    blocks = lines(["1. first.", "2. second."])
+    paras = get_numbered_paragraphs(blocks)
+    # startIndex=0 -> while skipped; the final-paragraph path then emits from
+    # startIndex and (via the `++endIndex` quirk, ts:161) swallows the next
+    # line too -> one merged paragraph.
+    assert paras == ["1. first. 2. second."]
+
+
+def test_paragraphs_sentence_extension():
+    # `++endIndex` before the final slice (ts:161,180) swallows one line
+    # beyond the sentence end — reference quirk, reproduced exactly.
+    blocks = lines(["intro", "1. begins", "continues", "ends.", "afterwards"])
+    assert get_numbered_paragraphs(blocks) == ["1. begins continues ends. afterwards"]
+
+
+# --- J1 queries -------------------------------------------------------------
+
+
+def test_queries_golden():
+    q = get_queries(FX.pleading_doc())
+    assert q == {
+        "state": ["MISSOURI"],
+        "county": ["JACKSON COUNTY"],
+        "court": ["CIRCUIT COURT"],
+        "district": [],
+    }
+
+
+def test_queries_missing_answer_is_none():
+    spans = FX._seq([FX.span("query", "alias=a;text=q?", "missing-id")])
+    assert get_queries(spans) == {"a": [None]}
+
+
+# --- scalars (C1-C4) --------------------------------------------------------
+
+
+def test_sanitize_and_parse_money():
+    assert sanitize_expense_value(" $1,234.50 ") == "1234.50"
+    assert parse_document_value("$1,234.50") == 1234.50
+    assert parse_document_value("N/A") is None
+    assert parse_document_value("") is None
+    assert parse_document_value("12.5 USD") == 12.5  # parseFloat prefix parse
+    assert js_parse_float(".5") == 0.5
+    assert js_parse_float("abc") is None
+    assert to_fixed_2(1234.5) == "1234.50"
+
+
+# --- F3-F5 / A3 medical ------------------------------------------------------
+
+
+def test_medical_golden():
+    ents = medical.med_entities(FX.medical_doc())
+    icd = medical.icd10_conditions(ents)
+    assert icd == [
+        {
+            "condition": "hypertension",
+            "attributes": ["chronic"],  # 0.8 exact excluded (strict >)
+            "code": "I10",
+            "description": "Essential hypertension",
+        }
+    ]
+    rx = medical.prescriptions(ents)
+    assert rx == [
+        {
+            "type": "GENERIC_NAME",
+            "name": "lisinopril",
+            "attributes": ["10mg"],
+            "code": "29046",
+            "description": "lisinopril 10mg",
+        }
+    ]
+    sn = medical.snomed_codes(ents)
+    assert sn == [
+        {
+            "type": "DX_NAME",
+            "category": "MEDICAL_CONDITION",
+            "name": "hypertensive disorder",
+            "traits": ["DIAGNOSIS"],  # 0.8 exact excluded
+            "attributes": ["systemic"],
+            "code": "38341003",
+            "description": "Hypertensive disorder",
+        }
+    ]
+
+
+def test_dedup_keep_first():
+    items = [{"code": "a", "v": 1}, {"code": "b", "v": 2}, {"code": "a", "v": 3}]
+    assert medical.dedup_keep_first(items, "code") == [
+        {"code": "a", "v": 1},
+        {"code": "b", "v": 2},
+    ]
+
+
+# --- A7 expense --------------------------------------------------------------
+
+
+def test_expense_golden():
+    pages = expenses_by_page(FX.expense_doc())
+    assert len(pages) == 2
+    p1, p2 = pages
+    assert p1["totalExpenses"] == "1234.50"  # first TOTAL wins
+    assert p1["totalPaid"] == "200.00"
+    assert p1["totalDue"] == "0.00"  # missing -> ?? 0
+    assert p1["receiptInfo"]["accountNumbers"] == ["AC-123"]  # distinct
+    assert p1["receiptInfo"]["provider"]["names"] == ["Acme Hospital"]
+    assert p1["receiptInfo"]["receiver"]["names"] == ["Jane Roe"]
+    assert p1["expenses"] == [
+        {
+            "price": "100.10",
+            "productCode": "XR-1",
+            "description": "X-Ray",
+            "unitPrice": "50.05",
+            "diagnosisCode": "S42.001",
+            "provider": "Dr. Doe",
+            "quantity": "2.00",
+        }
+    ]  # missing-PRICE and bad-price items dropped
+    assert p2["totalDue"] == "1034.50"
+    assert p2["expenses"] == [{"price": "34.50", "description": "Copay"}]
+
+
+# --- email / transcript -------------------------------------------------------
+
+
+def test_email_golden():
+    e = parse_email(FX.EMAIL_RAW)
+    assert e["messageId"] == "<msg-100@example.com>"
+    assert e["date"] == "Tue, 01 Aug 2023 10:00:00 GMT"
+    assert e["from"] == ["Alice Counsel <alice@lawfirm.example>"]
+    assert e["to"] == ["Bob Client <bob@client.example>, Carol <carol@client.example>"]
+    assert e["cc"] == ["Dan Paralegal <dan@lawfirm.example>"]
+    assert e["bcc"] is None
+    assert e["subject"] == "Settlement Offer for Jackson County case"
+    assert e["references"] == ["<msg-001@example.com>", "<msg-002@example.com>"]
+    assert e["attachments"] == ["offer.txt", "terms.txt"]
+    assert "good news" in e["body"]
+    assert e["attachmentsWithContent"][0]["filename"] == "offer.txt"
+
+
+def test_transcript_fold_and_sentiments():
+    t = parse_transcript(FX.transcript_doc())
+    folded = fold_transcript_text(t)
+    assert folded.startswith("\nHello")  # leading \n (text-extract.ts:86-91)
+    assert folded.count("\n") == 4
+    assert transcript_sentiments(t) == ["POSITIVE", "NEGATIVE", "NEUTRAL"]
+
+
+# --- N8 html -----------------------------------------------------------------
+
+
+def test_html_strip_keeps_article_drops_boilerplate():
+    blocks = strip_boilerplate(FX.HTML_RAW)
+    joined = " ".join(blocks)
+    assert "Court Approves Settlement" in joined
+    assert "approved the settlement" in joined
+    assert "Home" not in joined  # nav dropped
+    assert "Copyright" not in joined  # footer dropped
+    assert "promotional" not in joined  # sidebar class dropped
+
+
+# --- W4 layout ---------------------------------------------------------------
+
+
+def test_xy_cut_two_columns():
+    assert reading_order_lines(FX.layout_doc()) == [
+        "Left one",
+        "Left two",
+        "Right one",
+        "Right two",
+    ]
+
+
+def test_line_texts_filters_falsy():
+    spans = FX._seq([FX.span("line", "a"), FX.span("line", ""), FX.span("query", "x")])
+    assert line_texts(spans) == ["a"]

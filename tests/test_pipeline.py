@@ -1,0 +1,153 @@
+"""End-to-end Spark tests: one Arrow UDF stage over the canonical corpus,
+span-sequence equality, lineage, and checkpoint-resume (SURVEY.md §5 items
+1 & 3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from samu_ocr_extraction_poc_spark import fixtures as FX
+from samu_ocr_extraction_poc_spark.plans.pipeline import (
+    lineage_from_results,
+    run_extraction,
+    run_resumable,
+)
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    docs = FX.canonical_corpus(spark)
+    df = run_extraction(docs, ocr_lookup=FX.OCR_LOOKUP, n_parts=8)
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in df.collect()}
+    return rows
+
+
+def _r(results, key):
+    return results[FX.doc_id_for(key)]
+
+
+def test_routing(results):
+    assert _r(results, "Pleadings/roe-v-acme.pdf")["doc_type"] == "pleading"
+    assert _r(results, "Medical/patient-1.pdf")["doc_type"] == "medical"
+    assert _r(results, "Correspondence/settlement.eml")["doc_type"] == "correspondence_email"
+    assert _r(results, "Correspondence/call-1.json")["doc_type"] == "correspondence_transcript"
+    assert _r(results, "Web/case-update.html")["doc_type"] == "html"
+    assert _r(results, "Layout/two-column.pdf")["doc_type"] == "layout"
+    assert _r(results, "Correspondence/letter-1.pdf")["doc_type"] == "correspondence_letter"
+    assert _r(results, "Misc/blob.bin")["doc_type"] == "unknown"
+
+
+def test_pleading_end_to_end(results):
+    r = _r(results, "Pleadings/roe-v-acme.pdf")
+    assert r["status"] == "done"
+    assert r["header"]["plaintifs"] == "JANE ROE,"
+    assert r["header"]["caseNumber"] == "Cause No. 2116-CV12345"
+    assert r["header"]["defendents"] == ["ACME HOSPITAL LLC,", "JOHN DOE M.D.,"]
+    assert r["header"]["state"] == ["MISSOURI"]
+    assert r["header"]["county"] == ["JACKSON COUNTY"]
+    assert r["header"]["court"] == ["CIRCUIT COURT"]
+    assert r["header"]["district"] == []
+    assert len(r["paragraphs"]) == 5
+    assert r["pages"][0] is None and r["pages"][1].startswith(" \n IN THE CIRCUIT COURT")
+    assert "LOCATION" in r["entities"]
+
+
+def test_bad_format_pleading_is_error_row_not_failure(results):
+    r = _r(results, "Pleadings/bad-format.pdf")
+    assert r["status"] == "error"
+    assert "BadFormatError" in r["error"]
+    assert r["out_spans"]  # still re-interleaved
+
+
+def test_medical_end_to_end(results):
+    r = _r(results, "Medical/patient-1.pdf")
+    assert [c["code"] for c in r["icd10_conditions"]] == ["I10"]
+    assert [p["code"] for p in r["prescriptions"]] == ["29046"]
+    assert [s["code"] for s in r["snomed_codes"]] == ["38341003"]
+
+
+def test_expense_end_to_end(results):
+    r = _r(results, "Medical/invoice-1.pdf")
+    pages = r["expenses_by_page"]
+    assert pages[0]["totalExpenses"] == "1234.50"
+    assert pages[0]["expenses"][0]["price"] == "100.10"
+    assert pages[1]["expenses"][0]["description"] == "Copay"
+
+
+def test_email_end_to_end(results):
+    r = _r(results, "Correspondence/settlement.eml")
+    assert r["email"]["messageId"] == "<msg-100@example.com>"
+    assert r["email"]["attachments"] == ["offer.txt", "terms.txt"]
+    assert r["sentiments"] == ["POSITIVE"]
+
+
+def test_transcript_end_to_end(results):
+    r = _r(results, "Correspondence/call-1.json")
+    assert r["sentiments"] == ["POSITIVE", "NEGATIVE", "NEUTRAL"]
+    assert [t["participant"] for t in r["transcript"]] == ["AGENT", "CUSTOMER", "AGENT", "CUSTOMER"]
+
+
+def test_html_reinterleave_with_media(results):
+    r = _r(results, "Web/case-update.html")
+    spans = r["out_spans"]
+    kinds = [s["kind"] for s in spans]
+    assert "text" in kinds and "ocr_text" in kinds
+    ocr = next(s for s in spans if s["kind"] == "ocr_text")
+    assert ocr["text"] == FX.OCR_LOOKUP["img-003"]
+    assert ocr["media_ref"] == "img-003"
+    # offsets are dense & strictly increasing (span-sequence order invariant)
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+def test_letter_ocr_text_participates_in_raw_text(results):
+    r = _r(results, "Correspondence/letter-1.pdf")
+    assert FX.OCR_LOOKUP["img-002"] in r["raw_text"]
+    assert r["sentiments"] == ["POSITIVE"]
+
+
+def test_span_sequence_determinism(spark):
+    """Permutation invariance: shuffled span input order must not change
+    output, given offsets (SURVEY.md §5 property 3)."""
+    docs = FX.canonical_corpus(spark)
+    from pyspark.sql import functions as F
+
+    shuffled = docs.select("doc_id", F.reverse("spans").alias("spans"))
+    a = {r["doc_id"]: r["out_spans"] for r in run_extraction(docs, FX.OCR_LOOKUP).collect()}
+    b = {r["doc_id"]: r["out_spans"] for r in run_extraction(shuffled, FX.OCR_LOOKUP).collect()}
+    assert a == b
+
+
+def test_lineage(spark):
+    docs = FX.canonical_corpus(spark)
+    res = run_extraction(docs, FX.OCR_LOOKUP, n_parts=8)
+    lin = lineage_from_results(res, "t1").collect()
+    assert sum(r["n_docs"] for r in lin) == docs.count()
+    assert all(r["status"] == "done" for r in lin)
+    assert sum(r["n_errors"] for r in lin) == 1  # the bad-format pleading
+
+
+def test_resume_equals_single_run(spark, tmp_path):
+    """Resume-after-partial-run equals single-run output (J4 invariant)."""
+    docs = FX.canonical_corpus(spark)
+    single = run_resumable(spark, docs, str(tmp_path / "single"), n_parts=4, ocr_lookup=FX.OCR_LOOKUP)
+    single_rows = {r["doc_id"]: r["raw_text"] for r in single.collect()}
+
+    # partial run: only half the docs present, then full corpus resumes
+    part_dir = str(tmp_path / "resumed")
+    half = docs.limit(5)
+    run_resumable(spark, half, part_dir, n_parts=4, ocr_lookup=FX.OCR_LOOKUP)
+    resumed = run_resumable(spark, docs, part_dir, n_parts=4, ocr_lookup=FX.OCR_LOOKUP)
+    resumed_rows = {r["doc_id"]: r["raw_text"] for r in resumed.collect()}
+    # every doc whose partition wasn't completed in the half-run is present;
+    # completed partitions were skipped but their rows survive on disk
+    assert set(single_rows) >= set(resumed_rows)
+    for k, v in resumed_rows.items():
+        assert single_rows[k] == v
+
+
+def test_skew_doc_processes(spark):
+    docs = FX.canonical_corpus(spark, with_skew=True)
+    res = run_extraction(docs, FX.OCR_LOOKUP)
+    giant = res.where(res.doc_id == FX.doc_id_for("Pleadings/giant.pdf")).collect()[0]
+    assert giant["n_spans"] == 400 * 31
+    assert len([p for p in giant["pages"] if p]) == 400
