@@ -1,0 +1,747 @@
+"""Driver contract: Spark queries + DuckDB oracle SQL, co-located per
+operator (SURVEY.md §5 item 4).
+
+Each entry maps one SURVEY.md §2 operator family (or a training-data
+pipeline op) onto the driver testdata. Design rules for oracle parity:
+
+- identical column NAMES and value-affecting arithmetic on both sides;
+- hashing via md5/sha256 hex (same on both engines), never engine-native
+  hash functions;
+- money/aggregates through DECIMAL casts (exact) or round(x, 2..4)
+  (cushions FP summation-order drift);
+- timestamps rendered to strings with an explicit format.
+
+Spark-side code is Catalyst-friendly: filters early, broadcast hints on
+dimension tables, array HOFs instead of explodes where the data is already
+per-row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import textfns as TX
+from .operators import dedup as DD
+from .operators import similarity as SIM
+
+NL = " \n "
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (aggregation / join / window / anti-join families)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family aggregations (SURVEY §2.4): groupBy + partial-aggregable
+    sums; DECIMAL arithmetic for exact oracle equality."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,2)")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(price * disc).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join family: filtered fact-fact join + top-k; dims broadcast."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"), "o_orderpriority")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join with broadcast dimension chain (region->nation->customer)."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,2)"))
+    dims = F.broadcast(
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate < TIMESTAMP '1995-01-01'
+GROUP BY n_name
+"""
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 keep-first/top-k at cross-row scale: row_number window."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 checkpoint-resume analog: left anti-join (SURVEY §2.3)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extraction-semantic operators restated over the documents table
+# ---------------------------------------------------------------------------
+
+
+def page_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 page grouping, JVM-only: words -> 8-word lines -> 5-line pages,
+    each page text with the reference's leading ' \\n ' separator
+    (text-extractor.ts:287-319). Pure array HOFs — zero shuffle before the
+    final explode."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), " ")
+    n_lines = F.ceil(F.size(words) / 8.0).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.array_join(F.slice(words, (i - 1) * 8 + 1, 8), " "),
+    )
+    n_pages = F.ceil(F.size(lines) / 5.0).cast("int")
+    pages = F.transform(
+        F.sequence(F.lit(1), n_pages),
+        lambda p: F.concat(F.lit(NL), F.array_join(F.slice(lines, (p - 1) * 5 + 1, 5), NL)),
+    )
+    return docs.select("doc_id", F.posexplode(pages).alias("pos", "page_text")).select(
+        "doc_id", (F.col("pos") + 1).cast("int").alias("page"), "page_text"
+    )
+
+
+PAGE_GROUP_SQL = """
+WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+l AS (SELECT doc_id,
+        list_transform(range(1, CAST(ceil(len(words)/8.0) AS INT) + 1),
+                       i -> array_to_string(words[(i-1)*8+1:(i-1)*8+8], ' ')) AS lines
+      FROM base),
+p AS (SELECT doc_id,
+        list_transform(range(1, CAST(ceil(len(lines)/5.0) AS INT) + 1),
+                       q -> (' ' || chr(10) || ' ') || array_to_string(lines[(q-1)*5+1:(q-1)*5+5], ' ' || chr(10) || ' ')) AS pages
+      FROM l)
+SELECT doc_id, CAST(o AS INT) AS page, pg AS page_text
+FROM (SELECT doc_id, unnest(pages) AS pg, generate_subscripts(pages, 1) AS o FROM p)
+"""
+
+
+def doc_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 sha-id + content fingerprint + token count (text analysis)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.token_count(F.col("text")).cast("int").alias("n_tokens"),
+    )
+
+
+DIGESTS_SQL = """
+SELECT doc_id, sha256(text) AS sha,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split(trim(text), ' ')) END AS INT) AS n_tokens
+FROM documents
+"""
+
+
+def money_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-C4 money round-trip (sanitize -> parse -> toFixed(2))."""
+    orders = _t(spark, sf_dir, "orders")
+    val = F.col("o_totalprice").cast("decimal(18,2)")
+    money = F.concat(F.lit("$"), val.cast("string"))
+    sanitized = F.trim(F.regexp_replace(money, r"[$,]", ""))
+    parsed = sanitized.cast("double")
+    return orders.select(
+        "o_orderkey",
+        money.alias("money"),
+        sanitized.alias("sanitized"),
+        parsed.cast("decimal(38,2)").cast("string").alias("fixed2"),
+    )
+
+
+MONEY_SQL = """
+SELECT o_orderkey,
+       '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS money,
+       trim(regexp_replace('$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[$,]', '', 'g')) AS sanitized,
+       CAST(CAST(CAST(trim(regexp_replace('$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[$,]', '', 'g')) AS DOUBLE) AS DECIMAL(38,2)) AS VARCHAR) AS fixed2
+FROM orders
+"""
+
+
+def source_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 suffix router: partition corpus by source-derived doc family."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.substring(F.col("source"), 4, 10).cast("int") % 3
+    route = (
+        F.when(n == 0, "pleading").when(n == 1, "medical").otherwise("correspondence")
+    )
+    return docs.groupBy(route.alias("route")).agg(F.count("*").alias("n_docs"))
+
+
+ROUTER_SQL = """
+SELECT CASE CAST(substr(source, 4) AS INT) % 3
+         WHEN 0 THEN 'pleading' WHEN 1 THEN 'medical' ELSE 'correspondence' END AS route,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def first_seen_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 insertion-ordered distinct accumulation: first occurrence per
+    (user, type) — the relational form of the reference's ordered Sets."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(F.min("event_id").alias("first_event_id"))
+
+
+FIRST_SEEN_SQL = """
+SELECT user_id, event_type, min(event_id) AS first_event_id
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.keep_first(docs, ["lang"], "doc_id").select("lang", "doc_id", "n_chars")
+
+
+DEDUP_KEEPFIRST_SQL = """
+SELECT lang, doc_id, n_chars
+FROM (SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn = 1
+"""
+
+
+_SHINGLE_SQL_BASE = """
+WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                              i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+       FROM norm)
+"""
+
+
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8, k=3)
+
+
+MINHASH_SQL = _SHINGLE_SQL_BASE + """
+SELECT doc_id, """ + ",\n       ".join(
+    f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS h{i}" for i in range(8)
+) + """
+FROM sh GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = DD.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8, k=3)
+    return DD.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+
+
+LSH_SQL = _SHINGLE_SQL_BASE + """
+, sig AS (SELECT doc_id, """ + ",\n       ".join(
+    f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS h{i}" for i in range(8)
+) + """
+FROM sh GROUP BY doc_id),
+bands AS (""" + "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id, CAST(h{2*b} AS VARCHAR) || '_' || CAST(h{2*b+1} AS VARCHAR) AS band_key FROM sig"
+    for b in range(4)
+) + """)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b USING (band_id, band_key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(_t(spark, sf_dir, "documents"))
+
+
+SIMHASH_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks WHERE tok <> ''),
+b AS (SELECT doc_id, """ + ",\n       ".join(
+    f"sum(CASE WHEN (hv >> CAST({i} AS BIGINT)) & CAST(1 AS BIGINT) = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(32)
+) + """
+FROM h GROUP BY doc_id)
+SELECT doc_id, (""" + "\n + ".join(
+    f"CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END" for i in range(32)
+) + """) AS simhash
+FROM b
+"""
+
+
+def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = DD.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.0, max_df=100
+    )
+    return pairs.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(20)
+
+
+NGRAM_SQL = _SHINGLE_SQL_BASE + """
+, sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+filt AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) WHERE df <= 100),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM filt a JOIN filt b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) >= 0.0
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    score = TX.quality_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("int").alias("n_tokens"),
+        score.alias("quality"),
+        TX.quality_tier(score).alias("tier"),
+    )
+
+
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN) + "]"
+
+TOKEN_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+s AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS n,
+             len(list_distinct(w)) AS n_distinct,
+             len(list_filter(w, x -> list_contains({_STOP_LIST}, x))) AS n_stop
+      FROM t),
+q AS (SELECT doc_id, CAST(n AS INT) AS n_tokens,
+             round(0.4 * (n_distinct / n)
+                   + 0.4 * least(CAST(1.0 AS DOUBLE), (n_stop / n) * 5)
+                   + 0.2 * (CASE WHEN n >= 20 THEN CAST(1.0 AS DOUBLE) ELSE n / 20.0 END), 4) AS quality
+      FROM s)
+SELECT doc_id, n_tokens, quality,
+       CASE WHEN quality >= 0.66 THEN 'high'
+            WHEN quality >= 0.4 THEN 'medium' ELSE 'low' END AS tier
+FROM q
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def _marker_sql(lang: str) -> str:
+    words = "[" + ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter(w, x -> list_contains({words}, x)))"
+
+
+LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+c AS (SELECT doc_id, {_marker_sql('de')} AS c_de, {_marker_sql('en')} AS c_en,
+             {_marker_sql('es')} AS c_es, {_marker_sql('fr')} AS c_fr FROM t)
+SELECT doc_id,
+       CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+            WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def embed_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return SIM.brute_topk(corpus, queries, k=3)
+
+
+EMBED_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id >= 5),
+s AS (SELECT query_id, neighbor_id, round(list_cosine_similarity(qv, cv), 4) AS cos FROM q, c)
+SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos
+FROM (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM s)
+WHERE rn <= 3
+"""
+
+
+def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return SIM.ivf_topk(corpus, queries, k=3)
+
+
+EMBED_IVF_SQL = """
+WITH corpus AS (SELECT * FROM embeddings WHERE vec_id >= 5),
+cd AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+              generate_subscripts(embedding, 1) AS dim, vec_id
+       FROM corpus),
+cent AS (SELECT label, dim, avg(v) AS cval FROM cd GROUP BY label, dim),
+qd AS (SELECT vec_id AS query_id, unnest(CAST(embedding AS DOUBLE[])) AS qv,
+              generate_subscripts(embedding, 1) AS dim
+       FROM embeddings WHERE vec_id < 5),
+qc AS (SELECT query_id, label,
+              sum(qv * cval) / (sqrt(sum(qv * qv)) * sqrt(sum(cval * cval))) AS ccos
+       FROM qd JOIN cent USING (dim) GROUP BY query_id, label),
+routed AS (SELECT query_id, label
+           FROM (SELECT query_id, label, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label) AS rn FROM qc)
+           WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+s AS (SELECT r.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])), 4) AS cos
+      FROM routed r JOIN corpus c USING (label) JOIN q ON q.query_id = r.query_id)
+SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos
+FROM (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM s)
+WHERE rn <= 3
+"""
+
+
+def embed_blocked_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: label-blocked pairwise cosine, global top-20."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.cosine_near_dup_pairs(emb, threshold=-1.0)
+    return pairs.orderBy(F.col("cos").desc(), "id_a", "id_b").limit(20)
+
+
+EMBED_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY cos DESC, id_a, id_b LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event streams (batch restatement of the streaming ops; see streaming/)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min gap splits; per-user session stats."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("new_s", gap)
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+SESSIONS_SQL = """
+WITH l AS (SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+f AS (SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM l),
+s AS (SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+g AS (SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY user_id, sid)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+       sum(n_events) AS total_events
+FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full extraction engine (non-SQL-expressible -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: synthesize the interleaved corpus from the documents
+    table (deterministic) and run the full Arrow extraction stage."""
+    from .fixtures import synth_corpus_from_documents
+    from .plans.pipeline import run_extraction
+
+    docs = synth_corpus_from_documents(_t(spark, sf_dir, "documents"))
+    res = run_extraction(docs)
+    return res.select(
+        "doc_id",
+        "doc_type",
+        "status",
+        F.size("out_spans").alias("n_out_spans"),
+        F.coalesce(F.size("entities"), F.lit(0)).alias("n_entities"),
+        "n_spans",
+    )
+
+
+def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N8 boilerplate strip over deterministically synthesized HTML docs."""
+    from .operators.html import strip_boilerplate as _sb
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    import pandas as pd
+
+    def _strip(batches):
+        for pdf in batches:
+            body = [
+                "<html><body><nav><a href='/'>Home</a></nav><article>"
+                + "".join(f"<p>{t} padding words for the length gate.</p>" for t in [txt[:200]])
+                + "</article><footer><a href='/t'>T</a></footer></body></html>"
+                for txt in pdf["text"]
+            ]
+            blocks = [_sb(b) for b in body]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_blocks": [len(b) for b in blocks],
+                    "first_block": [b[0] if b else None for b in blocks],
+                }
+            )
+
+    return docs.mapInPandas(_strip, "doc_id long, n_blocks int, first_block string")
+
+
+def xy_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 reading order over synthesized two-column word boxes."""
+    from .operators.layout import reading_order_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    import pandas as pd
+
+    def _cut(batches):
+        for pdf in batches:
+            out_n, out_first = [], []
+            for txt in pdf["text"]:
+                words = txt.split()[:24]
+                spans = []
+                for i, w in enumerate(words):
+                    col_x = 0.05 if (i < len(words) / 2) else 0.55
+                    row = i % max(len(words) // 2, 1)
+                    x0 = col_x + 0.1 * (i % 3)
+                    y0 = 0.05 + 0.04 * row
+                    spans.append(
+                        {"kind": "word_box", "text": f"{w}|{x0},{y0},{x0+0.08},{y0+0.02}"}
+                    )
+                lines = reading_order_lines(spans)
+                out_n.append(len(lines))
+                out_first.append(lines[0] if lines else None)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_lines": out_n, "first_line": out_first}
+            )
+
+    return docs.mapInPandas(_cut, "doc_id long, n_lines int, first_line string")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "customers_without_orders": customers_without_orders,
+    "page_group_concat": page_group_concat,
+    "doc_digests": doc_digests,
+    "money_normalize": money_normalize,
+    "source_router": source_router,
+    "first_seen_event_types": first_seen_event_types,
+    "dedup_exact": dedup_exact,
+    "dedup_keepfirst": dedup_keepfirst,
+    "minhash_signatures": minhash_signatures_q,
+    "minhash_lsh_pairs": minhash_lsh_pairs_q,
+    "simhash": simhash_q,
+    "ngram_jaccard_top_pairs": ngram_jaccard_top_pairs,
+    "token_stats": token_stats,
+    "lang_id_heuristic": lang_id_heuristic,
+    "embed_topk_cosine": embed_topk_cosine,
+    "embed_ivf_topk": embed_ivf_topk,
+    "embed_blocked_top_pairs": embed_blocked_top_pairs,
+    "events_hourly": events_hourly,
+    "user_sessions": user_sessions,
+    "extract_pipeline": extract_pipeline,
+    "html_strip": html_strip_q,
+    "xy_cut_layout": xy_cut_q,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "topk_orders_per_customer": TOPK_SQL,
+    "customers_without_orders": ANTI_SQL,
+    "page_group_concat": PAGE_GROUP_SQL,
+    "doc_digests": DIGESTS_SQL,
+    "money_normalize": MONEY_SQL,
+    "source_router": ROUTER_SQL,
+    "first_seen_event_types": FIRST_SEEN_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_keepfirst": DEDUP_KEEPFIRST_SQL,
+    "minhash_signatures": MINHASH_SQL,
+    "minhash_lsh_pairs": LSH_SQL,
+    "simhash": SIMHASH_SQL,
+    "ngram_jaccard_top_pairs": NGRAM_SQL,
+    "token_stats": TOKEN_STATS_SQL,
+    "lang_id_heuristic": LANG_ID_SQL,
+    "embed_topk_cosine": EMBED_TOPK_SQL,
+    "embed_ivf_topk": EMBED_IVF_SQL,
+    "embed_blocked_top_pairs": EMBED_PAIRS_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "user_sessions": SESSIONS_SQL,
+    # extract_pipeline / html_strip / xy_cut_layout: non-SQL-expressible
+    # (Arrow UDF engine ops) -> rows-only checks by design.
+}

@@ -1,0 +1,95 @@
+"""Text-analysis column builders (training-data pipeline ops).
+
+Everything here is a pure Column expression (JVM-side, whole-stage codegen,
+zero Python in the hot path) and is designed to be expressible 1:1 in ANSI
+SQL so the DuckDB oracle can replay it. Token hashing uses md5-hex prefixes
+(same function on both engines) instead of engine-native hash().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword lang-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of", "a"],
+    "es": ["el", "la", "los", "que", "y"],
+    "de": ["der", "und", "die", "nicht", "ist"],
+    "fr": ["le", "et", "les", "des", "une"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "of", "to", "in", "and", "is", "on", "for"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (corpus is single-space separated)."""
+    return F.split(F.trim(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def normalized(col: Column) -> Column:
+    """Lowercase, non-alnum collapsed to single spaces, trimmed — the
+    canonical form for fingerprinting/dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (C1-analog applied
+    to content instead of the S3 key)."""
+    return F.md5(normalized(col))
+
+
+def token_md5_long(col: Column, prefix: str = "") -> Column:
+    """Deterministic 60-bit integer hash of a token via md5 hex — identical
+    on DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT."""
+    inp = F.concat(F.lit(prefix), col) if prefix else col
+    return F.conv(F.substring(F.md5(inp), 1, 15), 16, 10).cast("bigint")
+
+
+def marker_count(toks: Column, words: list[str]) -> Column:
+    """How many tokens are in the marker set (list_filter equivalent)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-marker language ID: argmax of per-language marker counts,
+    ties broken by language-code order; no markers -> 'und'."""
+    toks = tokens(col)
+    pairs = sorted(LANG_MARKERS.items())  # deterministic tie-break order
+    counts = {lang: marker_count(toks, words) for lang, words in pairs}
+    best = None
+    best_count = None
+    for lang, _ in pairs:
+        if best is None:
+            best, best_count = F.lit(lang), counts[lang]
+        else:
+            cond = counts[lang] > best_count
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_count = F.when(cond, counts[lang]).otherwise(best_count)
+    return F.when(best_count > 0, best).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]:
+    0.4*distinct-token ratio + 0.4*min(1, stopword_ratio*5) + 0.2*length gate
+    (>=20 tokens). Rounded to 4 decimals for cross-engine equality."""
+    toks = tokens(col)
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    stop_ratio = marker_count(toks, STOPWORDS_EN) / n
+    len_gate = F.when(n >= 20, F.lit(1.0)).otherwise(n / F.lit(20.0))
+    score = 0.4 * distinct_ratio + 0.4 * F.least(F.lit(1.0), stop_ratio * 5) + 0.2 * len_gate
+    return F.round(score, 4)
+
+
+def quality_tier(score: Column) -> Column:
+    return (
+        F.when(score >= 0.66, F.lit("high"))
+        .when(score >= 0.4, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )

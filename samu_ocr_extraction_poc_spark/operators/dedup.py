@@ -1,0 +1,186 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All DataFrame-native (no Python in the hot path). Scale notes per operator:
+
+- exact: one hash-aggregate shuffle on md5(text); AQE coalesces.
+- minhash/LSH: explode(shingles) -> one groupBy(doc) for signatures ->
+  explode(bands) -> self-equi-join on (band_id, key). At 100 TB the band
+  join is the only wide shuffle; band keys are uniform by construction
+  (md5), so no salting needed.
+- simhash: explode(tokens) -> single groupBy(doc) computing all 32 bit-sums
+  map-side (partial aggregation); no join.
+- n-gram Jaccard: candidate generation via the shingle inverted index with
+  a max-document-frequency cut on hot shingles (bounded join fan-out).
+
+Token/shingle hashing uses md5-hex prefixes so the DuckDB oracle can replay
+bit-for-bit (engine-native xxhash/murmur differ across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textfns import normalized, token_md5_long, tokens
+
+SIMHASH_BITS = 32
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); keeps the min id as canonical.
+
+    Returns (text_hash, keep_id, n_dups).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").cast("bigint").alias("n_dups"))
+    )
+
+
+def keep_first(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """A3 at cross-row scale: row_number over (partitionBy key, orderBy
+    order) == 1 (SURVEY.md §2.4 A3 'cross-row' formulation)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col))
+    return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+
+
+def shingles(text_col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (array column)."""
+    toks = tokens(normalized(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Exploded (doc_id, shingle) pairs — the inverted-index base."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of
+    md5-int(i || ':' || shingle). Columns h0..h{n-1}.
+
+    One explode + one partial-aggregating groupBy — scales linearly; no
+    state beyond the signature row per doc.
+    """
+    exploded = doc_shingles(df, text_col, id_col, k)
+    aggs = [
+        F.min(token_md5_long(F.col("shingle"), prefix=f"{i}:")).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature and self-join on band buckets -> candidate pairs
+    (doc_a < doc_b). The classic banding construction (Broder; MMDS ch.3).
+    """
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash over tokens (with multiplicity): per bit b, sum of +-1 by
+    whether md5-int(token) has bit b set; simhash sets bit b iff sum > 0.
+
+    32 bits so the oracle can replay with plain BIGINT arithmetic. Single
+    explode + groupBy with 32 conditional sums (all map-side combinable).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(normalized(F.col(text_col)))).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sh = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sh = term if sh is None else sh + term
+    return agg.select("doc_id", sh.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard over the shingle inverted index.
+
+    Hot shingles (document frequency > max_df) are excluded from candidate
+    generation — bounds join fan-out at web scale; the final Jaccard is
+    still computed on full shingle sets, so the cut only loses pairs whose
+    ONLY common shingles are corpus-stopword shingles (deterministic and
+    mirrored in the oracle).
+    Returns (doc_a, doc_b, jaccard).
+    """
+    pairs_base = doc_shingles(df, text_col, id_col, k)
+    sizes = pairs_base.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    df_counts = pairs_base.groupBy("shingle").agg(F.count("*").alias("df"))
+    filtered = pairs_base.join(df_counts.where(F.col("df") <= max_df), "shingle")
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`brute_topk` — exact cosine top-k; broadcast the (small) query set,
+  one pass over the corpus, rank window per query. The baseline.
+- :func:`ivf_topk` — IVF-style ANN scale path: per-label centroids (the
+  corpus ships a cluster label; at 100 TB a k-means pass would assign it),
+  route each query to its nearest centroid, exact search within that
+  cluster only. Probed cluster fraction ~ 1/n_labels of the corpus.
+- :func:`cosine_near_dup_pairs` — embedding near-dup pairs above a
+  threshold (dedup family).
+
+Dot products are `aggregate(zip_with(...))` — JVM-side, no UDF. Scores are
+rounded so the DuckDB oracle (list_cosine_similarity) matches bit-for-bit
+after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Broadcast the query side (it's small by construction); corpus scans
+    once. Returns (query_id, rank, neighbor_id, cos).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def label_centroids(corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label centroid as (label, dim, cval) rows — posexplode + avg, all
+    relational (and therefore oracle-replayable)."""
+    return (
+        corpus.select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("cval"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF ANN: route query -> nearest centroid by cosine, then exact top-k
+    within that cluster. Returns (query_id, rank, neighbor_id, cos)."""
+    cent = label_centroids(corpus, vec_col, label_col)
+    qdims = queries.select(
+        F.col(id_col).alias("query_id"), F.posexplode(vec_col).alias("dim", "qv")
+    ).withColumn("qv", F.col("qv").cast("double"))
+    # query x centroid cosine via the dim join (both sides tiny)
+    qc = (
+        qdims.join(F.broadcast(cent), "dim")
+        .groupBy("query_id", "label")
+        .agg(
+            F.sum(F.col("qv") * F.col("cval")).alias("dot"),
+            F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("qn"),
+            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"),
+        )
+        .select("query_id", "label", (F.col("dot") / (F.col("qn") * F.col("cn"))).alias("ccos"))
+    )
+    wbest = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    routed = qc.withColumn("rn", F.row_number().over(wbest)).where(F.col("rn") == 1).select(
+        "query_id", "label"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), F.col(label_col).alias("label")
+    ).join(F.broadcast(routed), "label")
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding near-dup pairs with cosine >= threshold.
+
+    Blocked by cluster label (near-dups share a cluster at any sane
+    threshold) so the self-join is per-block, not corpus x corpus — the
+    standard blocking trick for web-scale near-dup.
+    Returns (id_a, id_b, cos).
+    """
+    base = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), F.col(label_col).alias("label")
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(b, "label")
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
