@@ -31,8 +31,20 @@ from .operators import similarity as SIM
 NL = " \n "
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(spark: SparkSession, sf_dir: str, name: str, par: bool = True) -> DataFrame:
+    """Load a testdata table.
+
+    The sandbox parquet files are single-row-group (unsplittable), so every
+    scan would otherwise run as ONE task no matter the cluster size. A real
+    10^12-doc Iceberg corpus scans with per-file parallelism; the explicit
+    round-robin repartition restores that property here (and is what lets
+    the two-cluster-size scaling evidence mean anything). Correctness is
+    unaffected.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if par:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -327,15 +339,18 @@ sh AS (SELECT doc_id,
        FROM norm)
 """
 
+_MINHASH_TERMS = ",\n       ".join(
+    f"min(({DD.MINHASH_A[i]} * (('0x' || substr(md5(shingle), 1, 7))::BIGINT) + {DD.MINHASH_B[i]}) % {DD.MINHASH_PRIME}) AS h{i}"
+    for i in range(8)
+)
+
 
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8, k=3)
 
 
 MINHASH_SQL = _SHINGLE_SQL_BASE + """
-SELECT doc_id, """ + ",\n       ".join(
-    f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS h{i}" for i in range(8)
-) + """
+SELECT doc_id, """ + _MINHASH_TERMS + """
 FROM sh GROUP BY doc_id
 """
 
@@ -346,9 +361,7 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LSH_SQL = _SHINGLE_SQL_BASE + """
-, sig AS (SELECT doc_id, """ + ",\n       ".join(
-    f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS h{i}" for i in range(8)
-) + """
+, sig AS (SELECT doc_id, """ + _MINHASH_TERMS + """
 FROM sh GROUP BY doc_id),
 bands AS (""" + "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band_id, CAST(h{2*b} AS VARCHAR) || '_' || CAST(h{2*b+1} AS VARCHAR) AS band_key FROM sig"

@@ -421,6 +421,13 @@ def synth_corpus_from_documents(
         base = base.select(
             F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("rep"), "key", "text"
         ).select(F.concat_ws("#", "key", "rep").alias("key"), "text")
+    # hash-repartition before the Arrow synth stage: the sandbox's
+    # single-row-group parquet reads as ONE task, which would serialize all
+    # Python synthesis; a real corpus is many files and parallelizes at the
+    # scan (SURVEY.md §4 partitioning discipline)
+    base = base.repartition(
+        int(docs_df.sparkSession.conf.get("spark.sql.shuffle.partitions")), "key"
+    )
 
     import pandas as pd
 

@@ -63,6 +63,19 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     )
 
 
+# Universal-hash family for MinHash: one md5 per shingle, then cheap linear
+# transforms h_i(x) = (a_i * x + b_i) mod MERSENNE_31. x is 28 bits so
+# a_i * x stays well inside int64 (exact on both engines).
+MINHASH_PRIME = (1 << 31) - 1
+MINHASH_A = [1 + 2 * i for i in range(64)]
+MINHASH_B = [7919 * (i + 1) for i in range(64)]
+
+
+def shingle_base_hash(col: Column) -> Column:
+    """28-bit integer base hash of a shingle via md5 hex prefix."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -71,14 +84,19 @@ def minhash_signatures(
     k: int = 3,
 ) -> DataFrame:
     """MinHash signature per doc: h_i = min over shingles of
-    md5-int(i || ':' || shingle). Columns h0..h{n-1}.
+    (a_i * md5int(shingle) + b_i) mod (2^31 - 1). Columns h0..h{n-1}.
 
-    One explode + one partial-aggregating groupBy — scales linearly; no
-    state beyond the signature row per doc.
+    One md5 per shingle (not per hash function), one explode + one
+    partial-aggregating groupBy — scales linearly; no state beyond the
+    signature row per doc.
     """
-    exploded = doc_shingles(df, text_col, id_col, k)
+    exploded = doc_shingles(df, text_col, id_col, k).withColumn(
+        "x", shingle_base_hash(F.col("shingle"))
+    )
     aggs = [
-        F.min(token_md5_long(F.col("shingle"), prefix=f"{i}:")).alias(f"h{i}")
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("x") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_PRIME)
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
@@ -158,7 +176,10 @@ def ngram_jaccard_pairs(
     mirrored in the oracle).
     Returns (doc_a, doc_b, jaccard).
     """
-    pairs_base = doc_shingles(df, text_col, id_col, k)
+    # The inverted index feeds three consumers (sizes, document frequencies,
+    # the pair join); persist it once instead of recomputing the explode —
+    # at scale this is the materialized inverted index.
+    pairs_base = doc_shingles(df, text_col, id_col, k).persist()
     sizes = pairs_base.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     df_counts = pairs_base.groupBy("shingle").agg(F.count("*").alias("df"))
     filtered = pairs_base.join(df_counts.where(F.col("df") <= max_df), "shingle")

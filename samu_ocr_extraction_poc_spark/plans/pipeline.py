@@ -265,6 +265,7 @@ def run_extraction(
     ocr_lookup: dict[str, str] | None = None,
     thresholds: medical.Thresholds = medical.DEFAULT_THRESHOLDS,
     n_parts: int | None = None,
+    repartition: bool | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans) -> RESULT_SCHEMA via one mapInPandas stage.
 
@@ -298,8 +299,20 @@ def run_extraction(
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
+    # Partitioning discipline (north_rule / SURVEY.md §4): the UDF stage is
+    # narrow — it runs on the scan's file-level partitions when those already
+    # provide enough parallelism (the normal case on a many-file Iceberg
+    # corpus). The explicit hash repartition on doc_id is applied only when
+    # (a) the caller needs rows co-located with their lineage partition for
+    # a partitioned write (run_resumable), or (b) the input arrives in fewer
+    # splits than we have executor slots (small/unsplittable files).
     with_part = docs.withColumn("part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
-    return with_part.select("doc_id", "spans", "part_id").mapInPandas(_extract, out_schema)
+    selected = with_part.select("doc_id", "spans", "part_id")
+    if repartition is None:
+        repartition = docs.rdd.getNumPartitions() < n_parts
+    if repartition:
+        selected = selected.repartition(n_parts, "part_id")
+    return selected.mapInPandas(_extract, out_schema)
 
 
 def lineage_from_results(results: DataFrame, run_id: str) -> DataFrame:
@@ -356,7 +369,9 @@ def run_resumable(
     except Exception:  # no lineage yet -> fresh run
         todo = with_part
 
-    results = run_extraction(todo.drop("part_id"), ocr_lookup=ocr_lookup, n_parts=n_parts)
+    results = run_extraction(
+        todo.drop("part_id"), ocr_lookup=ocr_lookup, n_parts=n_parts, repartition=True
+    )
     results.write.mode("overwrite").partitionBy("part_id").parquet(results_dir)
 
     written = spark.read.parquet(results_dir)
