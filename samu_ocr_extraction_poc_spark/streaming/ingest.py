@@ -1,0 +1,89 @@
+"""Structured Streaming surface.
+
+The reference is event-driven (S3 event -> SNS -> Lambda chain,
+lib/medical-extractor/stack.ts:225-249) but performs no streaming
+*computation* — each document is processed exactly once (SURVEY.md §2.11).
+The streaming analog of that architecture in Spark:
+
+- :func:`stream_extract` — continuous ingest of newly-arrived document
+  files; each micro-batch runs the SAME batch extraction stage via
+  ``foreachBatch`` and appends results + lineage (exactly-once per file via
+  checkpointed source offsets). This replaces the SNS fan-out: routing is a
+  column, not a topic.
+- :func:`stream_event_metrics` — watermarked tumbling-window counts over an
+  event stream (late data handled by the watermark), the streaming
+  formulation of contract.events_hourly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import DOCUMENTS_SCHEMA
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    ocr_lookup: dict[str, str] | None = None,
+    n_parts: int = 8,
+):
+    """readStream over a documents directory -> per-micro-batch extraction
+    -> append sink. Returns the StreamingQuery (caller stops it)."""
+    from ..plans.pipeline import lineage_from_results, run_extraction
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        results = run_extraction(
+            batch_df, ocr_lookup=ocr_lookup, n_parts=n_parts, repartition=True
+        )
+        results.persist()
+        results.write.mode("append").partitionBy("part_id").parquet(f"{out_dir}/results")
+        lineage_from_results(results, run_id=f"epoch-{epoch_id}").write.mode(
+            "append"
+        ).parquet(f"{out_dir}/lineage")
+        results.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_event_metrics(
+    spark: SparkSession,
+    events: DataFrame | None = None,
+    input_dir: str | None = None,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+):
+    """Watermarked tumbling-window aggregation over an event stream.
+
+    Pass ``input_dir`` for a real file stream; the returned DataFrame is a
+    streaming frame to be started with ``writeStream`` (tests use the memory
+    sink + availableNow trigger).
+    """
+    if events is None:
+        if input_dir is None:
+            raise ValueError("need events or input_dir")
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        events = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
+    )

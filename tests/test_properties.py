@@ -1,0 +1,115 @@
+"""Property-based tests (SURVEY.md §5 item 3) — hypothesis over the pure
+per-document operators."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from samu_ocr_extraction_poc_spark.functions.scalars import (
+    js_parse_float,
+    parse_document_value,
+    sanitize_expense_value,
+    to_fixed_2,
+)
+from samu_ocr_extraction_poc_spark.operators.html import strip_boilerplate
+from samu_ocr_extraction_poc_spark.operators.layout import reading_order_lines
+from samu_ocr_extraction_poc_spark.operators.medical import dedup_keep_first
+from samu_ocr_extraction_poc_spark.operators.pages import get_page_text
+
+_SETTINGS = settings(max_examples=60, deadline=None)
+
+money = st.decimals(min_value=0, max_value=10**9, places=2, allow_nan=False, allow_infinity=False)
+
+
+@_SETTINGS
+@given(money)
+def test_money_parse_format_roundtrip(x):
+    """parse(format(x)) == x for 2-decimal money (C2-C4)."""
+    s = f"${x:,.2f}"
+    parsed = parse_document_value(s)
+    assert parsed is not None
+    assert to_fixed_2(parsed) == f"{x:.2f}"
+
+
+@_SETTINGS
+@given(st.text())
+def test_sanitize_idempotent_and_clean(s):
+    out = sanitize_expense_value(s)
+    assert "$" not in out and "," not in out
+    assert sanitize_expense_value(out) == out.strip()
+
+
+@_SETTINGS
+@given(st.floats(allow_nan=False, allow_infinity=False, width=32))
+def test_js_parse_float_parses_python_repr(x):
+    assert js_parse_float(repr(float(x))) == float(x)
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(st.sampled_from("abcdef"), st.integers(0, 5)), max_size=30))
+def test_dedup_keep_first_properties(pairs):
+    items = [{"code": c, "v": v} for c, v in pairs]
+    out = dedup_keep_first(items, "code")
+    # idempotent
+    assert dedup_keep_first(out, "code") == out
+    # keeps first occurrence per key, in order
+    seen = {}
+    for it in items:
+        seen.setdefault(it["code"], it)
+    assert out == list(seen.values())
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("line"), st.text(alphabet="xyz ", min_size=1, max_size=8)),
+            st.tuples(st.just("page_break"), st.integers(1, 5).map(str)),
+            st.tuples(st.just("media"), st.just("")),
+        ),
+        max_size=40,
+    )
+)
+def test_page_text_invariants(items):
+    spans = [
+        {"kind": k, "text": t, "media_ref": "", "offset": i} for i, (k, t) in enumerate(items)
+    ]
+    pages = get_page_text(spans)
+    assert pages[0] is None
+    n_lines = sum(1 for k, t in items if k == "line" and t)
+    total_seps = sum((p or "").count(" \n ") for p in pages)
+    assert total_seps == n_lines  # exactly one leading separator per line
+    # non-line spans never contribute text
+    joined = "".join(p or "" for p in pages)
+    assert joined.replace(" \n ", "|", 10**6).count("|") == n_lines
+
+
+@_SETTINGS
+@given(st.permutations(list(range(8))))
+def test_xy_cut_input_order_invariance(perm):
+    boxes = [
+        ("Left", 0.05, 0.10, 0.15, 0.13), ("one", 0.17, 0.10, 0.25, 0.13),
+        ("Left", 0.05, 0.16, 0.15, 0.19), ("two", 0.17, 0.16, 0.25, 0.19),
+        ("Right", 0.55, 0.10, 0.68, 0.13), ("one", 0.70, 0.10, 0.78, 0.13),
+        ("Right", 0.55, 0.16, 0.68, 0.19), ("two", 0.70, 0.16, 0.78, 0.19),
+    ]
+    spans = [
+        {"kind": "word_box", "text": f"{w}|{x0},{y0},{x1},{y1}"}
+        for (w, x0, y0, x1, y1) in (boxes[i] for i in perm)
+    ]
+    assert reading_order_lines(spans) == ["Left one", "Left two", "Right one", "Right two"]
+
+
+@_SETTINGS
+@given(st.lists(st.text(alphabet="abcdefg ", min_size=40, max_size=80), min_size=1, max_size=4))
+def test_html_strip_output_text_from_input(paras):
+    html = "<html><body><nav><a href='/'>x</a></nav>" + "".join(
+        f"<p>{p}</p>" for p in paras
+    ) + "</body></html>"
+    blocks = strip_boilerplate(html)
+    norm_input = re.sub(r"\s+", " ", " ".join(paras))
+    for b in blocks:
+        assert b in norm_input or all(w in norm_input for w in b.split())

@@ -1,0 +1,198 @@
+"""Scale-path tests: streaming ingest, media plumbing, skew splitting,
+readers, and plan-quality assertions (pushdown / broadcast / narrow UDF)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from samu_ocr_extraction_poc_spark import fixtures as FX
+from samu_ocr_extraction_poc_spark.operators.pages import get_page_text
+from samu_ocr_extraction_poc_spark.operators.skew import pages_distributed, split_by_pages
+from samu_ocr_extraction_poc_spark.sources.media import (
+    decode_media,
+    frame_sample,
+    resize_plan,
+    synth_media_table,
+)
+from samu_ocr_extraction_poc_spark.sources.readers import load_documents, write_documents
+from samu_ocr_extraction_poc_spark.streaming.ingest import stream_event_metrics, stream_extract
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- skew / giant-doc splitting ----------------------------------------------
+
+
+def test_split_by_pages_bounds_chunks(spark):
+    docs = FX.canonical_corpus(spark, with_skew=True)
+    chunks = split_by_pages(docs, pages_per_chunk=25)
+    giant = FX.doc_id_for("Pleadings/giant.pdf")
+    rows = chunks.where(F.col("doc_id") == giant).select(F.size("spans").alias("n")).collect()
+    assert len(rows) == 400 // 25
+    assert all(r["n"] == 25 * 31 for r in rows)
+    # total spans preserved
+    total = chunks.agg(F.sum(F.size("spans"))).collect()[0][0]
+    assert total == docs.agg(F.sum(F.size("spans"))).collect()[0][0]
+
+
+def test_pages_distributed_matches_in_row(spark):
+    docs = FX.canonical_corpus(spark, with_skew=True)
+    dist = {
+        (r["doc_id"], r["page"]): r["page_text"]
+        for r in pages_distributed(docs, pages_per_chunk=7).collect()
+    }
+    for r in docs.collect():
+        pages = get_page_text([s.asDict() for s in r["spans"]])
+        for page, text in enumerate(pages):
+            if text:
+                assert dist[(r["doc_id"], page)] == text, (r["doc_id"], page)
+    assert len(dist) == sum(
+        1
+        for r in docs.collect()
+        for t in get_page_text([s.asDict() for s in r["spans"]])
+        if t
+    )
+
+
+# --- multimodal plumbing -------------------------------------------------------
+
+
+def test_media_decode_deterministic(spark):
+    media = synth_media_table(spark, n=30)
+    a = {r["media_ref"]: r.asDict() for r in decode_media(media).collect()}
+    b = {r["media_ref"]: r.asDict() for r in decode_media(media).collect()}
+    assert a == b
+    row = a["m-0000"]
+    assert len(row["feature"]) == 16
+    assert all(0.0 <= f <= 1.0 for f in row["feature"])
+    assert row["media_type"] == "image" and row["n_frames"] == 1
+
+
+def test_media_real_codec_path_is_gated(spark):
+    media = synth_media_table(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_media(media, use_real_codecs=True).collect()
+
+
+def test_frame_sample_and_resize(spark):
+    media = synth_media_table(spark, n=30)
+    decoded = decode_media(media).cache()
+    frames = frame_sample(decoded, every_n=5)
+    fr = frames.groupBy("media_ref").count().collect()
+    assert fr and all(r["count"] >= 1 for r in fr)
+    rs = resize_plan(decoded, max_side=128).collect()
+    for r in rs:
+        assert max(r["target_w"], r["target_h"]) <= 128
+        # aspect preserved within rounding
+        assert abs(r["target_w"] / r["target_h"] - r["width"] / r["height"]) < 0.1
+
+
+def test_media_features_feed_similarity(spark):
+    from samu_ocr_extraction_poc_spark.operators.similarity import brute_topk
+
+    decoded = decode_media(synth_media_table(spark, n=30)).withColumnRenamed(
+        "media_ref", "vec_id"
+    ).withColumnRenamed("feature", "embedding")
+    out = brute_topk(decoded.limit(25), decoded.limit(3), k=2)
+    assert out.count() == 6
+
+
+# --- sources -------------------------------------------------------------------
+
+
+def test_write_and_load_documents_bucketed(spark, tmp_path):
+    docs = FX.canonical_corpus(spark)
+    loc = str(tmp_path / "corpus")
+    write_documents(docs, loc, n_buckets=4)
+    back = load_documents(spark, loc)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+
+# --- streaming -----------------------------------------------------------------
+
+
+def test_stream_event_metrics_memory_sink(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="evstream_")
+    try:
+        events.write.mode("overwrite").parquet(d)
+        agg = stream_event_metrics(spark, input_dir=d)
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("ev_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM ev_out").collect()
+        assert got
+        batch = (
+            events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .count()
+        )
+        assert len(got) == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_extract_foreachbatch(spark, tmp_path):
+    docs = FX.canonical_corpus(spark)
+    in_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.mode("overwrite").parquet(in_dir)
+    q = stream_extract(spark, in_dir, out_dir, ckpt, ocr_lookup=FX.OCR_LOOKUP, n_parts=4)
+    q.awaitTermination(180)
+    results = spark.read.parquet(f"{out_dir}/results")
+    assert results.count() == docs.count()
+    # restarting the stream with no new files must not duplicate rows
+    q2 = stream_extract(spark, in_dir, out_dir, ckpt, ocr_lookup=FX.OCR_LOOKUP, n_parts=4)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out_dir}/results").count() == docs.count()
+
+
+# --- plan quality (Catalyst checks, SURVEY §4) -----------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .where(F.col("l_shipdate") <= "1995-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+    # column pruning: scan schema mentions only needed columns
+    assert "l_extendedprice" not in plan
+
+
+def test_q5_uses_broadcast_join(spark):
+    from samu_ocr_extraction_poc_spark.contract import q5_region_revenue
+
+    plan = _plan(q5_region_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_extraction_is_narrow_on_wide_input(spark, tmp_path):
+    from samu_ocr_extraction_poc_spark.plans.pipeline import run_extraction
+
+    docs = FX.canonical_corpus(spark).repartition(8)
+    loc = str(tmp_path / "wide")
+    docs.write.parquet(loc)
+    wide = spark.read.parquet(loc)
+    res = run_extraction(wide, n_parts=4, repartition=False)
+    plan = _plan(res)
+    # no shuffle between the scan and the Arrow stage
+    scan_to_udf = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in scan_to_udf
