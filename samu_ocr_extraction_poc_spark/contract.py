@@ -416,6 +416,55 @@ ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
 """
 
 
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: block on the top 8 bits (bucket join, no
+    corpus x corpus), then hamming distance via bit_count(xor) <= 12.
+    At web scale the multi-probe variant rotates the blocking bits."""
+    sig = DD.simhash(_t(spark, sf_dir, "documents"))
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    joined = a.join(
+        b,
+        (F.shiftright(F.col("sh_a"), 24) == F.shiftright(F.col("sh_b"), 24))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return joined.select("doc_a", "doc_b", ham.cast("int").alias("hamming")).where(
+        F.col("hamming") <= 12
+    )
+
+
+SIMHASH_PAIRS_SQL = (
+    "WITH sig AS (" + SIMHASH_SQL + ")\n"
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+    "       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming\n"
+    "FROM sig a JOIN sig b\n"
+    "  ON (a.simhash >> CAST(24 AS BIGINT)) = (b.simhash >> CAST(24 AS BIGINT))\n"
+    " AND a.doc_id < b.doc_id\n"
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 12\n"
+)
+
+
+def props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/C7: JVM-side JSON parse (from_json) of the events props column,
+    aggregated — the relational form of the reference's JSON.parse
+    (lib/text-extractor.ts:135-143)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count(F.when(k.isNotNull(), 1)).alias("n_parsed"),
+    )
+
+
+PROPS_SQL = """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       count(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 END) AS n_parsed
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -718,6 +767,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": minhash_signatures_q,
     "minhash_lsh_pairs": minhash_lsh_pairs_q,
     "simhash": simhash_q,
+    "simhash_near_pairs": simhash_near_pairs,
+    "props_parse": props_parse,
     "ngram_jaccard_top_pairs": ngram_jaccard_top_pairs,
     "token_stats": token_stats,
     "lang_id_heuristic": lang_id_heuristic,
@@ -747,6 +798,8 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_signatures": MINHASH_SQL,
     "minhash_lsh_pairs": LSH_SQL,
     "simhash": SIMHASH_SQL,
+    "simhash_near_pairs": SIMHASH_PAIRS_SQL,
+    "props_parse": PROPS_SQL,
     "ngram_jaccard_top_pairs": NGRAM_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,

@@ -58,6 +58,16 @@ def write_documents(
     )
 
 
+def exclude_manifest_files(df: DataFrame) -> DataFrame:
+    """F11 manifest-key filter: the reference's S3 prefix scans drop keys
+    containing 'Manifest' (stack.ICD10CodeSaver.ts:42-46 and twins); the
+    scan analog filters on the provenance file name — Catalyst evaluates
+    input_file_name() without reading excluded rows' payloads."""
+    from pyspark.sql import functions as F
+
+    return df.where(~F.input_file_name().contains("Manifest"))
+
+
 def read_text_corpus(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Generic text-corpus reader (S1/S2 analog: scans replace per-object
     GETs; key filters become partition/file pruning)."""

@@ -196,3 +196,28 @@ def test_extraction_is_narrow_on_wide_input(spark, tmp_path):
     # no shuffle between the scan and the Arrow stage
     scan_to_udf = plan.split("MapInPandas")[-1]
     assert "Exchange" not in scan_to_udf
+
+
+def test_exclude_manifest_files(spark, tmp_path):
+    from samu_ocr_extraction_poc_spark.sources.readers import exclude_manifest_files
+
+    d = tmp_path / "pref"
+    spark.range(5).coalesce(1).write.parquet(str(d / "part-Manifest"))
+    spark.range(7).coalesce(1).write.parquet(str(d / "part-data"))
+    df = spark.read.parquet(str(d / "part-Manifest"), str(d / "part-data"))
+    assert exclude_manifest_files(df).count() == 7
+
+
+def test_lineage_wall_time_spread(spark):
+    """BASELINE.md skew row: per-partition wall-time spread is observable
+    from the lineage/metrics rows."""
+    from samu_ocr_extraction_poc_spark.plans.pipeline import (
+        lineage_from_results,
+        run_extraction,
+    )
+
+    docs = FX.canonical_corpus(spark, with_skew=True)
+    res = run_extraction(docs, FX.OCR_LOOKUP, n_parts=8)
+    lin = lineage_from_results(res, "spread").collect()
+    assert all(r["wall_ms"] is not None for r in lin)
+    assert sum(r["n_spans"] for r in lin) == docs.agg(F.sum(F.size("spans"))).collect()[0][0]
