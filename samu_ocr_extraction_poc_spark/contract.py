@@ -185,6 +185,76 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set family: ROLLUP over returnflag/linestatus with exact
+    DECIMAL revenue (subtotals + grand total rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,2)"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot family: order counts per market segment x order status."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+PIVOT_SQL = """
+SELECT c_mktsegment,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window: cumulative order value per customer in date
+    order (rows unbounded preceding)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w)
+        .cast("decimal(38,2)")
+        .alias("running_total"),
+    )
+
+
+RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_total
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extraction-semantic operators restated over the documents table
 # ---------------------------------------------------------------------------
@@ -420,7 +490,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: block on the top 8 bits (bucket join, no
     corpus x corpus), then hamming distance via bit_count(xor) <= 12.
     At web scale the multi-probe variant rotates the blocking bits."""
-    sig = DD.simhash(_t(spark, sf_dir, "documents"))
+    sig = DD.simhash(_t(spark, sf_dir, "documents")).persist()  # both join sides
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     joined = a.join(
@@ -757,6 +827,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_region_revenue": q5_region_revenue,
     "topk_orders_per_customer": topk_orders_per_customer,
     "customers_without_orders": customers_without_orders,
+    "rollup_revenue": rollup_revenue,
+    "pivot_status_by_segment": pivot_status_by_segment,
+    "running_customer_revenue": running_customer_revenue,
     "page_group_concat": page_group_concat,
     "doc_digests": doc_digests,
     "money_normalize": money_normalize,
@@ -788,6 +861,9 @@ ORACLE_SQL: dict[str, str] = {
     "q5_region_revenue": Q5_SQL,
     "topk_orders_per_customer": TOPK_SQL,
     "customers_without_orders": ANTI_SQL,
+    "rollup_revenue": ROLLUP_SQL,
+    "pivot_status_by_segment": PIVOT_SQL,
+    "running_customer_revenue": RUNNING_SQL,
     "page_group_concat": PAGE_GROUP_SQL,
     "doc_digests": DIGESTS_SQL,
     "money_normalize": MONEY_SQL,

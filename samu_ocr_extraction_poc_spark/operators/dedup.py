@@ -108,6 +108,9 @@ def lsh_candidate_pairs(
     """Band the signature and self-join on band buckets -> candidate pairs
     (doc_a < doc_b). The classic banding construction (Broder; MMDS ch.3).
     """
+    # the signature frame feeds both sides of the self-join; persist so the
+    # shingle explode + groupBy runs once (at scale: materialize signatures)
+    signatures = signatures.persist()
     n_bands = num_hashes // rows_per_band
     bands = F.array(
         *[

@@ -32,6 +32,9 @@ def duck():
 
 
 def _norm(v):
+    """Exact-equality normalization: floats compare bit-for-bit (the driver
+    hashes values; any FP divergence between engines must be fixed in the
+    QUERY, not masked here). Only type-level normalization is applied."""
     if v is None:
         return None
     if isinstance(v, bool):
@@ -39,14 +42,11 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
-    try:  # Decimal -> float-ish normalization
-        import decimal
+        return v
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
-    except ImportError:
-        pass
+    if isinstance(v, decimal.Decimal):
+        return float(v)
     import datetime
 
     if isinstance(v, (datetime.datetime, datetime.date)):
@@ -55,7 +55,8 @@ def _norm(v):
 
 
 def _rows(rows, cols):
-    return sorted([tuple(_norm(r[c]) for c in cols) for r in rows])
+    normed = [tuple(_norm(r[c]) for c in cols) for r in rows]
+    return sorted(normed, key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
