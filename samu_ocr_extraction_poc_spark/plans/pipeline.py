@@ -95,11 +95,21 @@ def _empty_result(doc_id: str) -> dict:
     }
 
 
-def _reinterleave(spans: list[dict], ocr_lookup: dict[str, str]) -> list[dict]:
+def _reinterleave(
+    spans: list[dict],
+    ocr_lookup: dict[str, str],
+    html_blocks: dict[int, list[str]] | None = None,
+    layout_lines: list[str] | None = None,
+) -> list[dict]:
     """Re-interleave extraction output into ordered (kind, text, media_ref,
     offset) spans — the north_rule per-row invariant. Content spans keep
     input order; media is OCR'd in place; html expands to its kept blocks;
-    word_box groups collapse into reading-ordered lines."""
+    word_box groups collapse into reading-ordered lines.
+
+    ``html_blocks``/``layout_lines`` carry results already computed by the
+    family branch so the DOM parse / XY-cut runs once per document.
+    """
+    html_blocks = html_blocks or {}
     out: list[dict] = []
     word_box_seen = False
     for s in sorted(spans, key=lambda x: x.get("offset") or 0):
@@ -112,11 +122,16 @@ def _reinterleave(spans: list[dict], ocr_lookup: dict[str, str]) -> list[dict]:
             ref = s.get("media_ref") or ""
             out.append({"kind": "ocr_text", "text": _ocr_text(ref, ocr_lookup), "media_ref": ref})
         elif kind == "html" and s.get("text"):
-            for block in strip_boilerplate(s["text"]):
+            off = s.get("offset") or 0
+            blocks = html_blocks.get(off)
+            if blocks is None:
+                blocks = strip_boilerplate(s["text"])
+            for block in blocks:
                 out.append({"kind": "text", "text": block, "media_ref": ""})
         elif kind == "word_box" and not word_box_seen:
             word_box_seen = True
-            for line in reading_order_lines(spans):
+            lines = layout_lines if layout_lines is not None else reading_order_lines(spans)
+            for line in lines:
                 out.append({"kind": "line", "text": line, "media_ref": ""})
     for i, s in enumerate(out):
         s["offset"] = i
@@ -137,6 +152,8 @@ def extract_document(
     doc_type = route_doc_type(kinds)
     res["doc_type"] = doc_type
     res["n_spans"] = len(spans)
+    html_blocks: dict[int, list[str]] = {}
+    layout_lines: list[str] | None = None
 
     # OCR media refs inline so their text participates in line flows (S5/S6
     # collapse: the async job split disappears in batch, SURVEY §2.1).
@@ -233,7 +250,9 @@ def extract_document(
             blocks: list[str] = []
             for s in work_spans:
                 if s.get("kind") == "html" and s.get("text"):
-                    blocks.extend(strip_boilerplate(s["text"]))
+                    stripped = strip_boilerplate(s["text"])
+                    html_blocks[s.get("offset") or 0] = stripped
+                    blocks.extend(stripped)
                 elif s.get("kind") == "line" and s.get("text"):
                     blocks.append(s["text"])
             text = join_lines(blocks)
@@ -244,19 +263,19 @@ def extract_document(
                 key_phrases=nlp.extract_key_phrases_for_texts([text]),
             )
         elif doc_type == "layout":
-            lines = reading_order_lines(work_spans)
-            res.update(raw_text=join_lines(lines), paragraphs=lines)
+            layout_lines = reading_order_lines(work_spans)
+            res.update(raw_text=join_lines(layout_lines), paragraphs=layout_lines)
         else:
             # 'Unknown file type' passthrough (text-extract.ts:163)
             res.update(status="done", error=None, raw_text=None)
             res["doc_type"] = "unknown"
-        res["out_spans"] = _reinterleave(spans, ocr_lookup)
+        res["out_spans"] = _reinterleave(spans, ocr_lookup, html_blocks, layout_lines)
     except BadFormatError as e:
         # BadFormatError docs emit an error-status row instead of failing the
         # job (lineage requirement, SURVEY §7 'what's hard').
         res["status"] = "error"
         res["error"] = f"BadFormatError: {e}"
-        res["out_spans"] = _reinterleave(spans, ocr_lookup)
+        res["out_spans"] = _reinterleave(spans, ocr_lookup, html_blocks, layout_lines)
     return res
 
 
