@@ -31,6 +31,13 @@ from .operators import similarity as SIM
 NL = " \n "
 
 
+def _utc(spark: SparkSession) -> None:
+    """Pin the session timezone: timestamp literals and date_format/
+    date_trunc are session-tz-dependent in Spark, while the DuckDB oracle's
+    timestamps are UTC-naive. Runtime-settable, idempotent."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str, par: bool = True) -> DataFrame:
     """Load a testdata table.
 
@@ -55,6 +62,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str, par: bool = True) -> DataFra
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-family aggregations (SURVEY §2.4): groupBy + partial-aggregable
     sums; DECIMAL arithmetic for exact oracle equality."""
+    _utc(spark)
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(12,2)")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
@@ -86,6 +94,7 @@ GROUP BY l_returnflag, l_linestatus
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join family: filtered fact-fact join + top-k; dims broadcast."""
+    _utc(spark)
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
@@ -115,6 +124,7 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join with broadcast dimension chain (region->nation->customer)."""
+    _utc(spark)
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -674,6 +684,7 @@ ORDER BY cos DESC, id_a, id_b LIMIT 20
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
@@ -696,6 +707,7 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min gap splits; per-user session stats."""
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.when(

@@ -285,3 +285,24 @@ def test_xy_cut_two_columns():
 def test_line_texts_filters_falsy():
     spans = FX._seq([FX.span("line", "a"), FX.span("line", ""), FX.span("query", "x")])
     assert line_texts(spans) == ["a"]
+
+
+def test_plaintiff_at_index_zero_js_splice_wrap():
+    """JS Array.splice with a negative start wraps from the end
+    (getPlaintiff, stack.TextSaver.ts:99-103: plaintiffLineIndex-1 == -1
+    when the plaintiff marker is the header's first line) — faithful quirk:
+    the LAST header line becomes the plaintiff."""
+    spans = lines([
+        "Plaintiff,",          # marker at index 0 after earlier splices
+        "Cause No. 1",
+        "vs.",
+        "Division 2",
+        "ACME,",
+        "Defendant.",
+    ])
+    h = get_header(spans)
+    # header slice before 'Defendant.' = first 5 lines; case/vs/division
+    # spliced out -> ['Plaintiff,', 'ACME,']; defendants = after idx 0 ->
+    # ['ACME,']; then splice(-1, 2) on ['Plaintiff,'] wraps -> 'Plaintiff,'
+    assert h["defendents"] == ["ACME,"]
+    assert h["plaintifs"] == "Plaintiff,"
