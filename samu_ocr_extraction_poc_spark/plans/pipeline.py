@@ -89,6 +89,7 @@ def _empty_result(doc_id: str) -> dict:
         "snomed_codes": None,
         "expenses_by_page": None,
         "email": None,
+        "attachments_content": None,
         "transcript": None,
         "out_spans": None,
         "n_spans": 0,
@@ -213,6 +214,7 @@ def extract_document(
                 email={k: email.get(k) for k in (
                     "messageId", "date", "from", "to", "cc", "bcc",
                     "subject", "body", "references", "attachments")},
+                attachments_content=email.get("attachmentsWithContent"),
                 entities=nlp.extract_entities_for_texts([body]),
                 sentiments=nlp.extract_sentiments_for_texts([body]),
                 key_phrases=nlp.extract_key_phrases_for_texts([body]),
@@ -339,6 +341,25 @@ def run_extraction(
     if repartition:
         selected = selected.repartition(n_parts, "part_id")
     return selected.mapInArrow(_extract, out_schema)
+
+
+def pages_table(results: DataFrame) -> DataFrame:
+    """K3 text-artifact sidecar: per-page rows (doc_id, page, text), the
+    relational form of the reference's ``${docId}/textract/extracted${i}.txt``
+    S3 writes (medical/stack.TextSaver.ts:33-35; pleading ts:232-234 — JS
+    .map skips the index-0 hole, so only real pages emit)."""
+    return results.select(
+        "doc_id", F.posexplode("pages").alias("page", "text")
+    ).where(F.col("text").isNotNull())
+
+
+def attachments_table(results: DataFrame) -> DataFrame:
+    """K3 attachment sidecar: (doc_id, filename, content) rows — the
+    reference saves each attachment body to
+    ``${documentId}/attachments/${filename}`` (text-extract.ts:63-68)."""
+    return results.select(
+        "doc_id", F.explode("attachments_content").alias("a")
+    ).select("doc_id", F.col("a.filename").alias("filename"), F.col("a.content").alias("content"))
 
 
 def lineage_from_results(results: DataFrame, run_id: str) -> DataFrame:

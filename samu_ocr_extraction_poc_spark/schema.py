@@ -160,6 +160,19 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("snomed_codes", T.ArrayType(SNOMED_STRUCT)),
         T.StructField("expenses_by_page", T.ArrayType(EXPENSE_PAGE_STRUCT)),
         T.StructField("email", EMAIL_STRUCT),
+        # attachment sidecar (reference saves content to S3,
+        # correspondence-extractor.text-extract.ts:63-68)
+        T.StructField(
+            "attachments_content",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("filename", T.StringType()),
+                        T.StructField("content", T.StringType()),
+                    ]
+                )
+            ),
+        ),
         T.StructField("transcript", T.ArrayType(TRANSCRIPT_STRUCT)),
         T.StructField("out_spans", SPANS_TYPE),
         T.StructField("n_spans", T.IntegerType()),

@@ -151,3 +151,23 @@ def test_skew_doc_processes(spark):
     giant = res.where(res.doc_id == FX.doc_id_for("Pleadings/giant.pdf")).collect()[0]
     assert giant["n_spans"] == 400 * 31
     assert len([p for p in giant["pages"] if p]) == 400
+
+
+def test_pages_and_attachments_sidecars(spark):
+    from samu_ocr_extraction_poc_spark.plans.pipeline import (
+        attachments_table,
+        pages_table,
+        run_extraction,
+    )
+
+    res = run_extraction(FX.canonical_corpus(spark), FX.OCR_LOOKUP)
+    pages = pages_table(res)
+    prow = pages.where(
+        (pages.doc_id == FX.doc_id_for("Pleadings/roe-v-acme.pdf")) & (pages.page == 1)
+    ).collect()
+    assert prow and prow[0]["text"].startswith(" \n IN THE CIRCUIT COURT")
+    assert pages.where("page = 0").count() == 0  # index-0 hole never emits
+
+    atts = attachments_table(res).collect()
+    assert sorted(a["filename"] for a in atts) == ["offer.txt", "terms.txt"]
+    assert any("Offer terms attached." in a["content"] for a in atts)
