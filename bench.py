@@ -136,18 +136,25 @@ def run_scaling() -> dict:
 
 
 def _host_python_scaling_ceiling(lo: int, hi: int) -> float:
-    """Per-core Python throughput ratio between hi and lo concurrently-busy
-    cores on this host (1.0 = no contention)."""
+    """Per-core Python throughput ratio between the hi and lo configurations'
+    TRUE thread occupancy (1.0 = no contention). During the Arrow stage each
+    Spark task pairs a JVM serde thread with a Python worker, so a local[N]
+    run keeps ~2N threads busy — calibrate at 2*lo vs 2*hi processes.
+    Averaged over two rounds to damp shared-host noise."""
     import multiprocessing as mp
 
     def _avg_task(n: int) -> float:
         with mp.Pool(n) as p:
             return sum(p.map(_burn, range(n))) / n
 
-    _avg_task(lo)  # warm pool/fork machinery
-    t_lo = _avg_task(lo)
-    t_hi = _avg_task(hi)
-    return min(t_lo / t_hi, 1.0) if t_hi > 0 else 1.0
+    _avg_task(2 * lo)  # warm pool/fork machinery
+    ratios = []
+    for _ in range(2):
+        t_lo = _avg_task(2 * lo)
+        t_hi = _avg_task(2 * hi)
+        if t_hi > 0:
+            ratios.append(t_lo / t_hi)
+    return min(sum(ratios) / len(ratios), 1.0) if ratios else 1.0
 
 
 def _burn(_: int) -> float:

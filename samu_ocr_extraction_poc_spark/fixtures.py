@@ -371,15 +371,15 @@ LINES_PER_PAGE = 5
 def spans_from_text(key: str, text: str) -> list[dict]:
     """Deterministically interleave a plain-text doc into spans.
 
-    Doc family rotates on sha256(key) so a corpus exercises every family:
-    70% pdf-letter (lines + page breaks + an occasional media span),
-    15% html, 15% transcript.
+    Doc family rotates on sha256(key) so a corpus exercises EVERY extractor
+    branch: 50% pdf-letter, 15% html, 10% transcript, 10% pleading,
+    5% medical, 5% expense, 5% mixed media-heavy.
     """
     h = int(hashlib.sha256(key.encode()).hexdigest()[:8], 16)
     words = text.split()
     lines = [" ".join(words[i : i + WORDS_PER_LINE]) for i in range(0, len(words), WORDS_PER_LINE)]
     sel = h % 20
-    if sel < 14:
+    if sel < 10:  # pdf letter
         spans = []
         for i, line in enumerate(lines):
             if i % LINES_PER_PAGE == 0:
@@ -388,7 +388,7 @@ def spans_from_text(key: str, text: str) -> list[dict]:
         if h % 3 == 0:
             spans.append(span("media", "", f"img-{h % 7:03d}"))
         return _seq(spans)
-    if sel < 17:
+    if sel < 13:  # html
         body = "".join(f"<p>{line} and some more prose to pass the length gate.</p>" for line in lines[:6])
         html = (
             "<html><body><nav><a href='/'>Home</a><a href='/x'>X</a></nav>"
@@ -396,11 +396,71 @@ def spans_from_text(key: str, text: str) -> list[dict]:
             "<footer><a href='/terms'>Terms</a></footer></body></html>"
         )
         return _seq([span("html", html)])
-    utts = [
-        {"Content": line, "Sentiment": ["POSITIVE", "NEGATIVE", "NEUTRAL"][(h + i) % 3], "ParticipantId": f"P{i % 2}"}
-        for i, line in enumerate(lines[:8])
-    ]
-    return _seq([span("transcript_utt", json.dumps(u)) for u in utts])
+    if sel < 15:  # transcript
+        utts = [
+            {"Content": line, "Sentiment": ["POSITIVE", "NEGATIVE", "NEUTRAL"][(h + i) % 3], "ParticipantId": f"P{i % 2}"}
+            for i, line in enumerate(lines[:8])
+        ]
+        return _seq([span("transcript_utt", json.dumps(u)) for u in utts])
+    if sel < 17:  # pleading (well-formed caption + numbered paragraphs)
+        caption = [
+            f"PARTY {h % 97},",
+            "Plaintiff,",
+            "vs.",
+            f"Cause No. {h % 10000}-CV",
+            f"Division {h % 12 + 1}",
+            f"RESPONDENT {h % 89} LLC,",
+            "Defendants.",
+        ]
+        paras = [f"{i + 1}. {line}." for i, line in enumerate(lines[:5])]
+        spans = [span("page_break", "1")]
+        spans += [span("line", t) for t in caption]
+        spans += [
+            span("query", "alias=state;text=In which state is this filed?", f"q{h % 100}"),
+            span("query_result", f"STATE {h % 50}", f"q{h % 100}"),
+        ]
+        spans += [span("line", t) for t in paras]
+        return _seq(spans)
+    if sel < 18:  # medical entities
+        ents = []
+        for i, line in enumerate(lines[:6]):
+            term = line.split()[0] if line else "term"
+            ents.append(
+                span(
+                    "med_entity",
+                    json.dumps(
+                        {
+                            "System": ["ICD10", "RXNORM", "SNOMED"][i % 3],
+                            "Category": ["MEDICAL_CONDITION", "MEDICATION", "TEST"][i % 3],
+                            "Type": "DX_NAME",
+                            "Text": term,
+                            "Score": 0.8 + (h + i) % 20 / 100.0,
+                            "Concepts": [
+                                {"Code": f"C{(h + i) % 999}", "Description": term, "Score": 0.5}
+                            ],
+                            "Attributes": [{"Text": "attr", "Score": 0.81}],
+                            "Traits": [{"Name": "T", "Score": 0.81}],
+                        }
+                    ),
+                )
+            )
+        return _seq([span("page_break", "1"), span("line", lines[0] if lines else "")] + ents)
+    if sel < 19:  # expense
+        spans = [
+            span("expense_field", json.dumps({"Page": 1, "Type": "TOTAL", "Label": None, "Value": f"${h % 9000}.{h % 100:02d}"})),
+            span("expense_field", json.dumps({"Page": 1, "Type": "VENDOR_NAME", "Label": None, "Value": f"Vendor {h % 50}"})),
+            span("expense_item", json.dumps({"Page": 1, "Fields": [
+                {"Type": "PRICE", "Value": f"${h % 500}.{h % 90:02d}"},
+                {"Type": "ITEM", "Value": lines[0][:30] if lines else "item"},
+            ]})),
+        ]
+        return _seq(spans)
+    # media-heavy mixed doc
+    spans = [span("page_break", "1")]
+    for i, line in enumerate(lines[:4]):
+        spans.append(span("line", line))
+        spans.append(span("media", "", f"img-{(h + i) % 7:03d}"))
+    return _seq(spans)
 
 
 def synth_corpus_from_documents(

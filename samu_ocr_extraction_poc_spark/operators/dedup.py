@@ -185,7 +185,9 @@ def ngram_jaccard_pairs(
     pairs_base = doc_shingles(df, text_col, id_col, k).persist()
     sizes = pairs_base.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     df_counts = pairs_base.groupBy("shingle").agg(F.count("*").alias("df"))
-    filtered = pairs_base.join(df_counts.where(F.col("df") <= max_df), "shingle")
+    # both sides of the candidate self-join read `filtered`; persist so the
+    # hot-shingle cut join runs once
+    filtered = pairs_base.join(df_counts.where(F.col("df") <= max_df), "shingle").persist()
     a = filtered.alias("a")
     b = filtered.alias("b")
     common = (
