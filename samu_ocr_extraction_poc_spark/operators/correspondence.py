@@ -95,9 +95,11 @@ def parse_transcript(spans: list[dict]) -> list[dict]:
     for s in spans:
         if s.get("kind") == "transcript_utt" and s.get("text"):
             try:
-                out.append(json.loads(s["text"]))
+                payload = json.loads(s["text"])
             except (ValueError, TypeError):
                 continue
+            if isinstance(payload, dict):
+                out.append(payload)
     return out
 
 

@@ -47,12 +47,22 @@ def keep_first(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
 
 
 def shingles(text_col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of the normalized text (array column)."""
+    """Distinct k-word shingles of the normalized text (array column).
+
+    Built with element_at (O(1) array index) rather than slice-per-shingle:
+    slice copies k elements per position, turning shingling O(n*k) with a
+    per-copy allocation; element_at keeps it allocation-light. Values are
+    identical (oracle unaffected)."""
     toks = tokens(normalized(text_col))
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
     )
 
 

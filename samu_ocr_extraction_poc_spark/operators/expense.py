@@ -103,13 +103,21 @@ def expenses_by_page(spans: list[dict]) -> list[dict]:
             payload = json.loads(s["text"])
         except (ValueError, TypeError):
             continue
-        page = int(payload.get("Page") or 1)
+        if not isinstance(payload, dict):
+            continue
+        try:
+            page = int(payload.get("Page") or 1)
+        except (ValueError, TypeError):
+            page = 1
         if page not in pages_seen:
             pages_seen.append(page)
         if kind == "expense_field":
             summary.setdefault(page, []).append(payload)
         else:
-            items.setdefault(page, []).append(payload.get("Fields") or [])
+            fields = payload.get("Fields")
+            items.setdefault(page, []).append(
+                [f for f in fields if isinstance(f, dict)] if isinstance(fields, list) else []
+            )
 
     out = []
     for page in pages_seen:

@@ -81,9 +81,11 @@ def med_entities(spans: list[dict]) -> list[dict]:
     for s in spans:
         if s.get("kind") == "med_entity" and s.get("text"):
             try:
-                out.append(json.loads(s["text"]))
+                payload = json.loads(s["text"])
             except (ValueError, TypeError):
                 continue
+            if isinstance(payload, dict):
+                out.append(payload)
     return out
 
 

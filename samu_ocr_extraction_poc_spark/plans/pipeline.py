@@ -207,7 +207,10 @@ def extract_document(
                 expenses_by_page=expenses_by_page(work_spans),
             )
         elif doc_type == "correspondence_email":
-            raw = next(s["text"] for s in work_spans if s.get("kind") == "email" and s.get("text"))
+            raw = next(
+                (s["text"] for s in work_spans if s.get("kind") == "email" and s.get("text")),
+                "",
+            )
             email = parse_email(raw)
             body = email.get("body")
             res.update(

@@ -113,3 +113,39 @@ def test_html_strip_output_text_from_input(paras):
     norm_input = re.sub(r"\s+", " ", " ".join(paras))
     for b in blocks:
         assert b in norm_input or all(w in norm_input for w in b.split())
+
+
+_KINDS = [
+    "line", "page_break", "media", "html", "email", "transcript_utt",
+    "med_entity", "expense_field", "expense_item", "query", "query_result",
+    "word_box", "garbage_kind",
+]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(_KINDS),
+            st.text(max_size=40),
+            st.text(alphabet="abc0123456789-,|.", max_size=12),
+        ),
+        max_size=25,
+    )
+)
+def test_extract_document_total_and_deterministic(items):
+    """The extraction stage must be total (malformed payloads, bogus kinds,
+    broken JSON, junk geometry -> never an unhandled exception; BadFormat
+    only surfaces as a status row) and deterministic."""
+    from samu_ocr_extraction_poc_spark.plans.pipeline import extract_document
+
+    spans = [
+        {"kind": k, "text": t, "media_ref": m, "offset": i}
+        for i, (k, t, m) in enumerate(items)
+    ]
+    a = extract_document("fuzz", [dict(s) for s in spans], {"x": "y"})
+    b = extract_document("fuzz", [dict(s) for s in spans], {"x": "y"})
+    assert a == b
+    assert a["status"] in ("done", "error")
+    outs = a["out_spans"]
+    assert [s["offset"] for s in outs] == list(range(len(outs)))
