@@ -221,3 +221,21 @@ def test_lineage_wall_time_spread(spark):
     lin = lineage_from_results(res, "spread").collect()
     assert all(r["wall_ms"] is not None for r in lin)
     assert sum(r["n_spans"] for r in lin) == docs.agg(F.sum(F.size("spans"))).collect()[0][0]
+
+
+def test_read_text_corpus_formats(spark, tmp_path):
+    from samu_ocr_extraction_poc_spark.sources.readers import read_text_corpus
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, txt string")
+    for fmt, writer in [
+        ("parquet", lambda p: df.write.parquet(p)),
+        ("json", lambda p: df.write.json(p)),
+        ("csv", lambda p: df.write.option("header", True).csv(p)),
+    ]:
+        p = str(tmp_path / fmt)
+        writer(p)
+        assert read_text_corpus(spark, p, fmt).count() == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported"):
+        read_text_corpus(spark, str(tmp_path), "avro")
