@@ -346,6 +346,62 @@ def run_extraction(
     return selected.mapInArrow(_extract, out_schema)
 
 
+def run_extraction_grouped(
+    docs: DataFrame,
+    ocr_lookup: dict[str, str] | None = None,
+    thresholds: medical.Thresholds = medical.DEFAULT_THRESHOLDS,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Skew-tolerant formulation (SURVEY.md §7): explode spans to bounded
+    rows, shuffle on doc_id, regroup with ``groupBy().applyInPandas``.
+
+    Semantically identical to :func:`run_extraction`; physically different:
+    a multi-hundred-page filing travels as thousands of small span rows
+    through the exchange (Spark spills and AQE splits freely) instead of one
+    giant row, and only re-materializes per group inside the Arrow stage.
+    Use when the corpus mixes page-scale and book-scale documents and the
+    single-row path's Arrow batches would be dominated by one document.
+    """
+    import pandas as pd
+
+    ocr = ocr_lookup or {}
+    spark = docs.sparkSession
+    n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bc_ocr = spark.sparkContext.broadcast(ocr)
+    thr = thresholds
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(RESULT_SCHEMA.fields) + [T.StructField("part_id", T.IntegerType())]
+    )
+
+    exploded = docs.select(
+        "doc_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int").alias("part_id"),
+        F.explode("spans").alias("span"),
+    ).select(
+        "doc_id",
+        "part_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+    def _extract_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = pdf["doc_id"].iloc[0]
+        part_id = int(pdf["part_id"].iloc[0])
+        spans = pdf[["kind", "text", "media_ref", "offset"]].to_dict("records")
+        t0 = time.perf_counter_ns()
+        row = extract_document(doc_id, spans, bc_ocr.value, thr)
+        row["proc_us"] = (time.perf_counter_ns() - t0) // 1000
+        row["part_id"] = part_id
+        return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+
+    return exploded.groupBy("doc_id").applyInPandas(_extract_group, out_schema)
+
+
 def pages_table(results: DataFrame) -> DataFrame:
     """K3 text-artifact sidecar: per-page rows (doc_id, page, text), the
     relational form of the reference's ``${docId}/textract/extracted${i}.txt``
