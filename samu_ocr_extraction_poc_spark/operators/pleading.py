@@ -20,6 +20,8 @@ carry their id in ``media_ref``.
 
 from __future__ import annotations
 
+import re
+
 from .pages import is_kind
 
 
@@ -71,6 +73,56 @@ def get_queries(spans: list[dict]) -> dict[str, list[str | None]]:
         ids = [i for i in (q.get("media_ref") or "").split(",") if i]
         answers = [results.get(i) for i in ids]
         out[alias] = [a.get("text") if a else None for a in answers] if ids else []
+    return out
+
+
+_CAPTION_RE = re.compile(
+    r"IN THE (?P<court>.+?COURT) OF (?P<county>.+?COUNTY),?\s*(?:STATE OF\s+)?(?P<state>[A-Z][A-Z ]+)$",
+    re.IGNORECASE,
+)
+_DISTRICT_RE = re.compile(r"\b(?P<district>[A-Z][A-Z ]*DISTRICT)\b", re.IGNORECASE)
+
+
+def answer_queries(spans: list[dict]) -> list[dict]:
+    """N6 stand-in for Textract Queries (stack.PleadingExtractor.ts:41-50):
+    for query spans with NO answer linkage, pattern-match the page-1 caption
+    (e.g. 'IN THE CIRCUIT COURT OF JACKSON COUNTY, MISSOURI') and emit
+    query_result spans + linkage. A PRE-processing operator — it plays the
+    layout model's role, so J1 semantics (stack.TextSaver.ts:30-47) stay
+    untouched downstream. Returns a new span list; offsets are extended past
+    the current maximum.
+    """
+    from .pages import span_pages
+
+    page1_lines = [
+        s["text"] for p, s in span_pages(spans)
+        if p == 1 and s.get("kind") == "line" and s.get("text")
+    ]
+    fields: dict[str, str] = {}
+    for line in page1_lines:
+        m = _CAPTION_RE.search(line)
+        if m:
+            fields.setdefault("court", m.group("court").strip().upper())
+            fields.setdefault("county", m.group("county").strip().upper())
+            fields.setdefault("state", m.group("state").strip().upper())
+        d = _DISTRICT_RE.search(line)
+        if d:
+            fields.setdefault("district", d.group("district").strip().upper())
+
+    out = [dict(s) for s in spans]
+    next_offset = max((s.get("offset") or 0 for s in spans), default=-1) + 1
+    for i, s in enumerate(out):
+        if not is_kind(s, "query") or s.get("media_ref"):
+            continue  # already linked -> the model's answer stands (J1)
+        alias, _, _q = (s.get("text") or "").partition(";text=")
+        alias = alias.removeprefix("alias=")
+        answer = fields.get(alias)
+        if answer is None:
+            continue
+        rid = f"synth-{alias}-{next_offset}"
+        out[i]["media_ref"] = rid
+        out.append({"kind": "query_result", "text": answer, "media_ref": rid, "offset": next_offset})
+        next_offset += 1
     return out
 
 

@@ -60,6 +60,44 @@ def stream_extract(
     )
 
 
+def stream_user_totals(
+    spark: SparkSession,
+    input_dir: str,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    cumulative per-user event count + value sum, state carried across
+    micro-batches (and restarts, via the sink checkpoint).
+
+    Returns the streaming DataFrame; start it with writeStream (tests use
+    update-mode memory sink + availableNow)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events = spark.readStream.schema(schema).parquet(input_dir)
+
+    def _update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_event_metrics(
     spark: SparkSession,
     events: DataFrame | None = None,

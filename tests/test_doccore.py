@@ -306,3 +306,32 @@ def test_plaintiff_at_index_zero_js_splice_wrap():
     # ['ACME,']; then splice(-1, 2) on ['Plaintiff,'] wraps -> 'Plaintiff,'
     assert h["defendents"] == ["ACME,"]
     assert h["plaintifs"] == "Plaintiff,"
+
+
+def test_answer_queries_synthesizes_from_caption():
+    """N6: unlinked queries answered from page-1 caption patterns; linked
+    queries untouched (J1 stays authoritative)."""
+    from samu_ocr_extraction_poc_spark.operators.pleading import answer_queries
+
+    spans = FX.pleading_doc()
+    # the 'district' query has no linkage and no DISTRICT in the caption
+    before = get_queries(spans)
+    assert before["district"] == []
+    enriched = answer_queries(spans)
+    after = get_queries(enriched)
+    assert after["state"] == ["MISSOURI"]  # linked answer untouched
+    assert after["district"] == []  # nothing to match -> stays empty
+
+    # now an unlinked state query over a bare caption
+    bare = FX._seq(
+        [FX.span("page_break", "1"),
+         FX.span("line", "IN THE CIRCUIT COURT OF CLAY COUNTY, STATE OF MISSOURI"),
+         FX.span("line", "SIXTEENTH JUDICIAL DISTRICT"),
+         FX.span("query", "alias=state;text=In which state is this filed?", ""),
+         FX.span("query", "alias=court;text=In which court is this filed?", ""),
+         FX.span("query", "alias=district;text=In which district is this filed?", "")]
+    )
+    q = get_queries(answer_queries(bare))
+    assert q["state"] == ["MISSOURI"]
+    assert q["court"] == ["CIRCUIT COURT"]
+    assert q["district"] == ["SIXTEENTH JUDICIAL DISTRICT"]

@@ -239,3 +239,41 @@ def test_read_text_corpus_formats(spark, tmp_path):
 
     with _pt.raises(ValueError, match="unsupported"):
         read_text_corpus(spark, str(tmp_path), "avro")
+
+
+def test_stream_user_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches AND
+    across stream restarts (checkpointed)."""
+    from samu_ocr_extraction_poc_spark.streaming.ingest import stream_user_totals
+
+    events = spark.read.parquet(f"{SF}/events.parquet").orderBy("event_id")
+    first, second = events.limit(400), events.subtract(events.limit(400))
+    in_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+
+    out_dir = str(tmp_path / "totals")
+
+    def run_round():
+        q = (
+            stream_user_totals(spark, in_dir)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _e: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_round()
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    run_round()  # restarts from the checkpoint; state must carry over
+    totals = spark.read.parquet(out_dir)
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in totals.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    }
+    want = {r["user_id"]: r["n"] for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert got == want
