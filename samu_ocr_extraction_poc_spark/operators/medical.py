@@ -75,6 +75,77 @@ def dedup_keep_first(items: list[dict], key: str) -> list[dict]:
     return out
 
 
+# Bundled ontology dictionary (FIXTURES.md §4 ontology_dict): term ->
+# (system, category, type, code, description, score). Stands in for the
+# Comprehend Medical inference models (N5) the reference starts as async
+# jobs (ontologies/state-machine.ts:75-99); scores are frozen so the
+# downstream threshold filters (F3-F5) behave deterministically.
+ONTOLOGY_DICT: dict[str, tuple[str, str, str, str, str, float]] = {
+    "hypertension": ("ICD10", "MEDICAL_CONDITION", "DX_NAME", "I10", "Essential (primary) hypertension", 0.98),
+    "diabetes": ("ICD10", "MEDICAL_CONDITION", "DX_NAME", "E11.9", "Type 2 diabetes mellitus", 0.97),
+    "fracture": ("ICD10", "MEDICAL_CONDITION", "DX_NAME", "S42.001", "Fracture of unspecified part", 0.96),
+    "asthma": ("ICD10", "MEDICAL_CONDITION", "DX_NAME", "J45.909", "Unspecified asthma", 0.97),
+    "lisinopril": ("RXNORM", "MEDICATION", "GENERIC_NAME", "29046", "lisinopril", 0.95),
+    "metformin": ("RXNORM", "MEDICATION", "GENERIC_NAME", "6809", "metformin", 0.95),
+    "aspirin": ("RXNORM", "MEDICATION", "GENERIC_NAME", "1191", "aspirin", 0.9),
+    "albuterol": ("RXNORM", "MEDICATION", "GENERIC_NAME", "435", "albuterol", 0.94),
+    "headache": ("SNOMED", "MEDICAL_CONDITION", "DX_NAME", "25064002", "Headache", 0.9),
+    "pain": ("SNOMED", "MEDICAL_CONDITION", "DX_NAME", "22253000", "Pain", 0.88),
+    "x-ray": ("SNOMED", "TEST", "TEST_NAME", "363680008", "Radiographic imaging", 0.9),
+}
+
+
+def infer_med_entities(text: str, dictionary: dict | None = None) -> list[dict]:
+    """N5 inference stand-in: dictionary-match raw text -> entity payloads
+    (the role of StartICD10CMInferenceJob etc.), document-order, one entity
+    per term occurrence (the reference's savers dedup by code afterwards,
+    A3)."""
+    import re as _re
+
+    dictionary = dictionary if dictionary is not None else ONTOLOGY_DICT
+    out = []
+    for m in _re.finditer(r"[A-Za-z][A-Za-z-]+", text or ""):
+        term = m.group(0).lower()
+        hit = dictionary.get(term)
+        if not hit:
+            continue
+        system, category, type_, code, desc, score = hit
+        out.append(
+            {
+                "System": system,
+                "Category": category,
+                "Type": type_,
+                "Text": m.group(0),
+                "Score": score,
+                "Concepts": [{"Code": code, "Description": desc, "Score": round(score - 0.05, 2)}],
+                "Attributes": [],
+                "Traits": [],
+            }
+        )
+    return out
+
+
+def add_inferred_entities(spans: list[dict], dictionary: dict | None = None) -> list[dict]:
+    """Pre-processor: append med_entity spans inferred from line text —
+    used when a corpus carries raw clinical text without model outputs.
+    Documents that already contain med_entity spans are left untouched
+    (the model already ran)."""
+    import json as _json
+
+    if any(s.get("kind") == "med_entity" for s in spans):
+        return [dict(s) for s in spans]
+    text = " ".join(s.get("text") or "" for s in spans if s.get("kind") == "line")
+    inferred = infer_med_entities(text, dictionary)
+    out = [dict(s) for s in spans]
+    next_offset = max((s.get("offset") or 0 for s in spans), default=-1) + 1
+    for e in inferred:
+        out.append(
+            {"kind": "med_entity", "text": _json.dumps(e), "media_ref": "", "offset": next_offset}
+        )
+        next_offset += 1
+    return out
+
+
 def med_entities(spans: list[dict]) -> list[dict]:
     """Decode ``med_entity`` span payloads (JSON) in document order."""
     out = []

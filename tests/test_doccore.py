@@ -335,3 +335,29 @@ def test_answer_queries_synthesizes_from_caption():
     assert q["state"] == ["MISSOURI"]
     assert q["court"] == ["CIRCUIT COURT"]
     assert q["district"] == ["SIXTEENTH JUDICIAL DISTRICT"]
+
+
+def test_infer_med_entities_dictionary_match():
+    """N5 stand-in: raw clinical text -> entity payloads -> the exact F3-F5
+    filter + A3 dedup chain."""
+    from samu_ocr_extraction_poc_spark.operators.medical import (
+        add_inferred_entities,
+        icd10_conditions,
+        med_entities,
+        prescriptions,
+    )
+
+    spans = FX._seq([
+        FX.span("page_break", "1"),
+        FX.span("line", "Patient has hypertension; prescribed lisinopril for the hypertension."),
+    ])
+    enriched = add_inferred_entities(spans)
+    ents = med_entities(enriched)
+    assert len(ents) == 3  # two hypertension hits + lisinopril
+    icd = icd10_conditions(ents)
+    assert [c["code"] for c in icd] == ["I10"]  # A3 dedup keeps first
+    rx = prescriptions(ents)
+    assert [p["code"] for p in rx] == ["29046"]
+    # docs that already carry model output are untouched
+    med = FX.medical_doc()
+    assert add_inferred_entities(med) == med
