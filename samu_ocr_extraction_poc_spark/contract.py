@@ -663,6 +663,15 @@ WHERE rn <= 3
 """
 
 
+def embed_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free cosine LSH near-dup candidates (Charikar hyperplanes) —
+    rows-only check: the bucket bit depends on float dot-product signs,
+    which cannot be made bit-identical across engines near zero."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.hyperplane_lsh_pairs(emb, dim=64, n_tables=6, bits_per_table=4)
+    return pairs.orderBy(F.col("cos").desc(), "id_a", "id_b").limit(50)
+
+
 def embed_blocked_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: label-blocked pairwise cosine, global top-20."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -860,6 +869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
     "embed_blocked_top_pairs": embed_blocked_top_pairs,
+    "embed_hyperplane_pairs": embed_hyperplane_pairs,
     "events_hourly": events_hourly,
     "user_sessions": user_sessions,
     "extract_pipeline": extract_pipeline,

@@ -122,6 +122,72 @@ def ivf_topk(
     )
 
 
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 (no runtime RNG:
+    same planes every run, every executor)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / float(1 << 28) - 8.0)  # ~uniform in [-8, 8)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_lsh_pairs(
+    corpus: DataFrame,
+    dim: int,
+    n_tables: int = 6,
+    bits_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Label-free cosine LSH (Charikar's random-hyperplane scheme), standard
+    multi-table construction: T independent tables of b sign bits each; a
+    pair is a candidate if it collides in ANY table (recall
+    1-(1-p^b)^T for per-plane agreement p); exact cosine re-ranks. All
+    JVM-side — planes are literal array columns, signs via
+    aggregate(zip_with(...)), tables explode into (table, bucket) keys.
+
+    The scale path when no cluster label exists: per-table bucket occupancy
+    is corpus/2^b, so each self-join is per-bucket.
+    Returns distinct (id_a, id_b, cos).
+    """
+    planes = _hyperplanes(n_tables * bits_per_table, dim)
+    vec = F.col(vec_col)
+    tables = []
+    for t in range(n_tables):
+        bucket = None
+        for i in range(bits_per_table):
+            plane = planes[t * bits_per_table + i]
+            plane_col = F.array(*[F.lit(v) for v in plane])
+            bit = (_dot(vec, plane_col) > 0).cast("long") * F.lit(2 ** i)
+            bucket = bit if bucket is None else bucket + bit
+        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("bkt")))
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        vec.alias("vec"),
+        F.explode(F.array(*tables)).alias("tb"),
+    ).select("vid", "vec", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(b, ["t", "bkt"])
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
+                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

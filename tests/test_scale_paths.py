@@ -277,3 +277,28 @@ def test_stream_user_totals_stateful(spark, tmp_path):
     }
     want = {r["user_id"]: r["n"] for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     assert got == want
+
+
+def test_hyperplane_lsh_recall_vs_brute(spark):
+    """Label-free cosine LSH: injected true near-duplicates (cos ~0.99)
+    must all be recovered; candidate generation is deterministic."""
+    from samu_ocr_extraction_poc_spark.operators.similarity import hyperplane_lsh_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    # inject near-dups: vec_id+10000 = same vector with one component nudged
+    dup = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 0 THEN float(x + 0.01) ELSE x END)"
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(dup)
+    pairs = hyperplane_lsh_pairs(corpus, dim=64, n_tables=6, bits_per_table=4)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.where("cos >= 0.99").collect()}
+    want = {(r["vec_id"], r["vec_id"] + 10000) for r in emb.select("vec_id").collect()}
+    missed = want - found
+    assert not missed, f"missed {len(missed)} of {len(want)} injected near-dups"
+    # determinism
+    again = {(r["id_a"], r["id_b"]) for r in pairs.where("cos >= 0.99").collect()}
+    assert found == again
