@@ -282,6 +282,16 @@ def extract_document(
         res["status"] = "error"
         res["error"] = f"BadFormatError: {e}"
         res["out_spans"] = _reinterleave(spans, ocr_lookup, html_blocks, layout_lines)
+    except Exception as e:  # noqa: BLE001 — poison-document guard
+        # At 10^12 docs a single malformed document must NOT fail the job:
+        # any unexpected per-document failure degrades to an error row (the
+        # lineage table surfaces it; the partition still completes).
+        res["status"] = "error"
+        res["error"] = f"{type(e).__name__}: {e}"
+        try:
+            res["out_spans"] = _reinterleave(spans, ocr_lookup, html_blocks, layout_lines)
+        except Exception:
+            res["out_spans"] = []
     return res
 
 

@@ -190,3 +190,20 @@ def test_grouped_extraction_equals_single_row_path(spark):
         for r in run_extraction_grouped(docs, FX.OCR_LOOKUP).collect()
     }
     assert a == b
+
+
+def test_poison_document_degrades_to_error_row(spark, monkeypatch):
+    """Any unexpected per-document exception must become an error-status row
+    (poison-doc guard) — the job itself never fails."""
+    from samu_ocr_extraction_poc_spark.plans import pipeline as P
+
+    def boom(texts):
+        raise RuntimeError("synthetic poison")
+
+    monkeypatch.setattr(P.nlp, "extract_entities_for_texts", boom)
+    row = P.extract_document(
+        "poison", [s for s in FX.letter_doc()], FX.OCR_LOOKUP
+    )
+    assert row["status"] == "error"
+    assert "RuntimeError: synthetic poison" in row["error"]
+    assert row["out_spans"]  # still re-interleaved
