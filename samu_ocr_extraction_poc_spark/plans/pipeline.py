@@ -365,12 +365,17 @@ def run_extraction_grouped(
     """Skew-tolerant formulation (SURVEY.md §7): explode spans to bounded
     rows, shuffle on doc_id, regroup with ``groupBy().applyInPandas``.
 
-    Semantically identical to :func:`run_extraction`; physically different:
-    a multi-hundred-page filing travels as thousands of small span rows
-    through the exchange (Spark spills and AQE splits freely) instead of one
-    giant row, and only re-materializes per group inside the Arrow stage.
-    Use when the corpus mixes page-scale and book-scale documents and the
-    single-row path's Arrow batches would be dominated by one document.
+    Semantically identical to :func:`run_extraction` (verified in tests);
+    physically different: a huge filing travels as thousands of small span
+    rows through the exchange (Spark spills and AQE splits freely) instead
+    of one giant row, and only re-materializes per group inside the Arrow
+    stage.
+
+    Measured tradeoff (BENCH.md): at 400-page/12k-span documents the
+    single-row path is ~14x FASTER (no explode+shuffle; 12k spans is still
+    small in absolute terms) — reach for this path only when single
+    documents are large enough to break Arrow batches or executor memory
+    (book-scale, ~10^5+ spans), or rely on split_by_pages chunking instead.
     """
     import pandas as pd
 
