@@ -492,10 +492,16 @@ def run_resumable(
 
     results = run_extraction(
         todo.drop("part_id"), ocr_lookup=ocr_lookup, n_parts=n_parts, repartition=True
-    )
+    ).persist()
+    # dynamic partition overwrite: only partitions present in THIS run's
+    # data are replaced (idempotent K1 semantics); completed partitions'
+    # files are never touched or re-read
     results.write.mode("overwrite").partitionBy("part_id").parquet(results_dir)
-
-    written = spark.read.parquet(results_dir)
-    lineage = lineage_from_results(written, run_id)
-    lineage.write.mode("overwrite").parquet(lineage_dir)
+    # lineage rows APPEND incrementally — computing them from this run's
+    # (persisted) results, never by re-reading the whole results table,
+    # which would be a full-corpus scan per resume at 10^12 docs. A re-run
+    # partition gets a second lineage row; readers take status='done'
+    # distinct part_ids, so duplicates are harmless.
+    lineage_from_results(results, run_id).write.mode("append").parquet(lineage_dir)
+    results.unpersist()
     return spark.read.parquet(results_dir)

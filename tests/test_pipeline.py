@@ -207,3 +207,36 @@ def test_poison_document_degrades_to_error_row(spark, monkeypatch):
     assert row["status"] == "error"
     assert "RuntimeError: synthetic poison" in row["error"]
     assert row["out_spans"]  # still re-interleaved
+
+
+def test_resume_lineage_appends_incrementally(spark, tmp_path):
+    """Lineage accumulates per run (no full-table re-read/rewrite): rows
+    from the first run survive the resume, and the resume adds only the
+    newly processed partitions."""
+    out = str(tmp_path / "inc")
+    docs = FX.canonical_corpus(spark)
+    run_resumable(spark, docs.limit(2), out, run_id="r1", n_parts=8, ocr_lookup=FX.OCR_LOOKUP)
+    lin1 = spark.read.parquet(f"{out}/lineage").collect()
+    run_resumable(spark, docs, out, run_id="r2", n_parts=8, ocr_lookup=FX.OCR_LOOKUP)
+    lin2 = spark.read.parquet(f"{out}/lineage").collect()
+    assert {r["run_id"] for r in lin2} == {"r1", "r2"}
+    r1_parts = {r["part_id"] for r in lin2 if r["run_id"] == "r1"}
+    r2_parts = {r["part_id"] for r in lin2 if r["run_id"] == "r2"}
+    assert not (r1_parts & r2_parts)  # resume skipped completed partitions
+    assert len(lin1) == len(r1_parts)
+    # partition-granular checkpoint semantics: resume assumes the SAME
+    # input corpus; docs added later that hash into already-done
+    # partitions are intentionally skipped. Expected rows = r1 docs +
+    # full-corpus docs outside r1-completed partitions.
+    from pyspark.sql import functions as F
+    parts = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int").alias("p")
+        ).collect()
+    }
+    r1_docs = {r["doc_id"] for r in docs.limit(2).collect()}
+    expected = len(r1_docs) + sum(
+        1 for d, p in parts.items() if d not in r1_docs and p not in r1_parts
+    )
+    assert spark.read.parquet(f"{out}/results").count() == expected
