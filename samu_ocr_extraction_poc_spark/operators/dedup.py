@@ -56,11 +56,14 @@ def shingles(text_col: Column, k: int = 3) -> Column:
     toks = tokens(normalized(text_col))
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    # try_element_at: null past the end (docs shorter than k tokens) —
+    # concat_ws skips nulls, matching the oracle's clamped list slice; plain
+    # element_at would THROW under ANSI mode (Spark 4 default)
     return F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
+                " ", *[F.try_element_at(toks, i + j) for j in range(k)]
             ),
         )
     )
