@@ -564,15 +564,16 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN) + "]"
 
 TOKEN_STATS_SQL = f"""
-WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-s AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS n,
+WITH t AS (SELECT doc_id, length(trim(text)) AS nc, string_split(trim(text), ' ') AS w FROM documents),
+s AS (SELECT doc_id, nc, CAST(len(w) AS DOUBLE) AS n,
              len(list_distinct(w)) AS n_distinct,
              len(list_filter(w, x -> list_contains({_STOP_LIST}, x))) AS n_stop
       FROM t),
-q AS (SELECT doc_id, CAST(n AS INT) AS n_tokens,
+q AS (SELECT doc_id, CAST(CASE WHEN nc = 0 THEN 0 ELSE n END AS INT) AS n_tokens,
+             CASE WHEN nc = 0 THEN CAST(0.0 AS DOUBLE) ELSE
              round(0.4 * (n_distinct / n)
                    + 0.4 * least(CAST(1.0 AS DOUBLE), (n_stop / n) * 5)
-                   + 0.2 * (CASE WHEN n >= 20 THEN CAST(1.0 AS DOUBLE) ELSE n / 20.0 END), 4) AS quality
+                   + 0.2 * (CASE WHEN n >= 20 THEN CAST(1.0 AS DOUBLE) ELSE n / 20.0 END), 4) END AS quality
       FROM s)
 SELECT doc_id, n_tokens, quality,
        CASE WHEN quality >= 0.66 THEN 'high'

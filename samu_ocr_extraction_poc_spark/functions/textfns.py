@@ -84,7 +84,8 @@ def quality_score(col: Column) -> Column:
     stop_ratio = marker_count(toks, STOPWORDS_EN) / n
     len_gate = F.when(n >= 20, F.lit(1.0)).otherwise(n / F.lit(20.0))
     score = 0.4 * distinct_ratio + 0.4 * F.least(F.lit(1.0), stop_ratio * 5) + 0.2 * len_gate
-    return F.round(score, 4)
+    # empty text scores 0.0 (consistent with token_count's 0)
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0.0)).otherwise(F.round(score, 4))
 
 
 def quality_tier(score: Column) -> Column:
