@@ -582,6 +582,26 @@ FROM q
 """
 
 
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token counting (training-data token budgeting):
+    whitespace tokens vs regex sub-word tokens per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("int").alias("ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+    )
+
+
+BPE_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split(trim(text), ' ')) END AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens
+FROM documents
+"""
+
+
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
@@ -867,6 +887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_top_pairs": ngram_jaccard_top_pairs,
     "token_stats": token_stats,
     "lang_id_heuristic": lang_id_heuristic,
+    "bpe_token_counts": bpe_token_counts,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
     "embed_blocked_top_pairs": embed_blocked_top_pairs,
@@ -902,6 +923,7 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_top_pairs": NGRAM_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
+    "bpe_token_counts": BPE_SQL,
     "embed_topk_cosine": EMBED_TOPK_SQL,
     "embed_ivf_topk": EMBED_IVF_SQL,
     "embed_blocked_top_pairs": EMBED_PAIRS_SQL,

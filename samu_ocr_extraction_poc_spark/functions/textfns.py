@@ -31,6 +31,17 @@ def token_count(col: Column) -> Column:
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-style sub-word token estimate: letter runs + single digits +
+    punctuation marks each count as one token (the RE2-safe approximation of
+    GPT-2's tokenizer regex — no lookaheads, so the DuckDB oracle can run
+    the identical pattern)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def normalized(col: Column) -> Column:
     """Lowercase, non-alnum collapsed to single spaces, trimmed — the
     canonical form for fingerprinting/dedup."""
