@@ -684,6 +684,15 @@ WHERE rn <= 3
 """
 
 
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative relational k-means over embeddings (rows-only: FP argmin
+    near-ties make exact cross-engine assignment impractical): cluster
+    sizes after 3 Lloyd iterations."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = SIM.kmeans_assign(emb, k=8, iterations=3)
+    return assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
+
+
 def embed_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-free cosine LSH near-dup candidates (Charikar hyperplanes) —
     rows-only check: the bucket bit depends on float dot-product signs,
@@ -892,6 +901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivf_topk": embed_ivf_topk,
     "embed_blocked_top_pairs": embed_blocked_top_pairs,
     "embed_hyperplane_pairs": embed_hyperplane_pairs,
+    "kmeans_clusters": kmeans_clusters,
     "events_hourly": events_hourly,
     "user_sessions": user_sessions,
     "extract_pipeline": extract_pipeline,

@@ -122,6 +122,66 @@ def ivf_topk(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Relational Lloyd's k-means (iterative DataFrame algorithm): builds
+    the cluster labels the IVF path needs when the corpus ships none.
+
+    Deterministic: seeds are the k smallest ids; each iteration is
+    assign (dim-join argmin of squared distance, centroids broadcast) +
+    recompute (avg per (cluster, dim)). Each iteration's centroid frame is
+    persisted — the lineage would otherwise recompute the whole chain per
+    step (the standard iterative-algorithm discipline; at scale you'd
+    checkpoint instead).
+
+    Returns (vec_id, cluster).
+    """
+    from pyspark.sql.window import Window as W
+
+    dims = corpus.select(
+        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double")).persist()
+
+    seeds = corpus.orderBy(id_col).limit(k).select(F.col(id_col).alias("seed_id"))
+    cent = (
+        dims.join(F.broadcast(seeds), dims.vid == seeds.seed_id)
+        .groupBy("seed_id", "dim")
+        .agg(F.first("v").alias("cval"))
+        .withColumn(
+            "cluster",
+            F.dense_rank().over(W.orderBy("seed_id")) - 1,
+        )
+        .select("cluster", "dim", "cval")
+        .persist()
+    )
+
+    assign = None
+    for _ in range(iterations):
+        scored = (
+            dims.join(F.broadcast(cent), "dim")
+            .groupBy("vid", "cluster")
+            .agg(F.sum((F.col("v") - F.col("cval")) ** 2).alias("d2"))
+        )
+        w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("cluster").asc())
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", "cluster")
+        )
+        cent = (
+            dims.join(assign, "vid")
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("cval"))
+            .persist()
+        )
+    return assign.select(F.col("vid").alias(id_col), "cluster")
+
+
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 (no runtime RNG:
     same planes every run, every executor)."""

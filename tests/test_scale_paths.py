@@ -302,3 +302,36 @@ def test_hyperplane_lsh_recall_vs_brute(spark):
     # determinism
     again = {(r["id_a"], r["id_b"]) for r in pairs.where("cos >= 0.99").collect()}
     assert found == again
+
+
+def test_kmeans_assign_converges_and_is_deterministic(spark):
+    from samu_ocr_extraction_poc_spark.operators.similarity import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=5, iterations=2).collect()}
+    b = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=5, iterations=2).collect()}
+    assert a == b  # deterministic
+    assert len(a) == emb.count()  # every vector assigned exactly once
+    assert set(a.values()) <= set(range(5))
+    # more iterations must not hurt: inertia (sum of squared distance to the
+    # assigned centroid) is non-increasing for Lloyd's algorithm
+    from pyspark.sql import functions as F
+
+    def inertia(iters):
+        assign = kmeans_assign(emb, k=5, iterations=iters)
+        dims = emb.select("vec_id", F.posexplode("embedding").alias("dim", "v")).withColumn(
+            "v", F.col("v").cast("double")
+        )
+        cent = (
+            dims.join(assign, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("cval"))
+        )
+        return (
+            dims.join(assign, "vec_id")
+            .join(cent, ["cluster", "dim"])
+            .agg(F.sum((F.col("v") - F.col("cval")) ** 2))
+            .collect()[0][0]
+        )
+
+    assert inertia(3) <= inertia(1) + 1e-6
