@@ -361,3 +361,20 @@ def test_infer_med_entities_dictionary_match():
     # docs that already carry model output are untouched
     med = FX.medical_doc()
     assert add_inferred_entities(med) == med
+
+
+def test_nlp_pins():
+    """Behavior pins for the deterministic Comprehend stand-ins (N1/N2/N4):
+    frozen so future refactors can't silently change extraction output."""
+    from samu_ocr_extraction_poc_spark.functions import nlp
+
+    text = ("On June 1, 2021 Dr. Jane Roe of Acme Hospital LLC in Missouri "
+            "approved a payment of $1,250.00 with great success.")
+    assert nlp.extract_entity_types(text) == ["PERSON", "DATE", "QUANTITY", "ORGANIZATION", "LOCATION"]
+    assert nlp.detect_sentiment(text) == "POSITIVE"
+    assert nlp.detect_sentiment("The claim was denied due to negligence.") == "NEGATIVE"
+    assert nlp.detect_sentiment("The sky is blue today.") == "NEUTRAL"
+    assert nlp.detect_sentiment("A great failure.") == "MIXED"
+    assert nlp.extract_key_phrases(text) == ["On June", "Dr Jane Roe", "Acme Hospital LLC"]
+    assert nlp.extract_entity_types("") == []
+    assert nlp.extract_entities_for_texts([None, "", "Missouri"]) == ["LOCATION"]

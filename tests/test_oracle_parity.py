@@ -87,3 +87,20 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert "doc_id" in df.columns
+
+
+ROWS_ONLY_ALLOWLIST = {
+    # Arrow-UDF engine ops / FP-sign-dependent ops — intentionally rows-only
+    "extract_pipeline", "html_strip", "xy_cut_layout",
+    "embed_hyperplane_pairs", "kmeans_clusters",
+}
+
+
+def test_every_query_is_oracled_or_allowlisted():
+    """Contract hygiene: a new queries() entry must either ship a DuckDB
+    oracle or be explicitly allowlisted as rows-only with a reason above."""
+    missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY_ALLOWLIST
+    assert not missing, f"queries lacking oracles: {missing}"
+    stale = ROWS_ONLY_ALLOWLIST - set(QUERIES)
+    assert not stale, f"allowlist entries without queries: {stale}"
+    assert not (ROWS_ONLY_ALLOWLIST & set(ORACLES))
