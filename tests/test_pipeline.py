@@ -240,3 +240,21 @@ def test_resume_lineage_appends_incrementally(spark, tmp_path):
         1 for d, p in parts.items() if d not in r1_docs and p not in r1_parts
     )
     assert spark.read.parquet(f"{out}/results").count() == expected
+
+
+def test_compat_facade(spark):
+    """Reference entry points by name: each family facade returns that
+    family's rows in the reference's item shape."""
+    from samu_ocr_extraction_poc_spark import compat
+
+    docs = FX.canonical_corpus(spark)
+    med = compat.start_medical_extraction(docs, FX.OCR_LOOKUP).collect()
+    assert {r["type"] for r in med} == {"medical"} and len(med) == 2
+    assert any(r["icd10Conditions"] for r in med)
+    corr = compat.start_correspondence_extraction(docs, FX.OCR_LOOKUP).collect()
+    assert len(corr) == 3
+    assert {r["subtype"] for r in corr} == {"email", "transcript", None}
+    ple = compat.start_pleading_extraction(docs, FX.OCR_LOOKUP).collect()
+    assert len(ple) == 2
+    ok = next(r for r in ple if r["status"] == "done")
+    assert ok["header"]["plaintifs"] == "JANE ROE,"
