@@ -121,9 +121,12 @@ def lsh_candidate_pairs(
     """Band the signature and self-join on band buckets -> candidate pairs
     (doc_a < doc_b). The classic banding construction (Broder; MMDS ch.3).
     """
-    # the signature frame feeds both sides of the self-join; persist so the
-    # shingle explode + groupBy runs once (at scale: materialize signatures)
+    # the signature frame feeds both sides of the self-join; persist AND
+    # materialize eagerly — a lazy persist lets both join sides race to fill
+    # the cache and compute the shingle pipeline twice (at scale: write the
+    # signature table)
     signatures = signatures.persist()
+    signatures.count()
     n_bands = num_hashes // rows_per_band
     bands = F.array(
         *[
@@ -198,9 +201,10 @@ def ngram_jaccard_pairs(
     pairs_base = doc_shingles(df, text_col, id_col, k).persist()
     sizes = pairs_base.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     df_counts = pairs_base.groupBy("shingle").agg(F.count("*").alias("df"))
-    # both sides of the candidate self-join read `filtered`; persist so the
-    # hot-shingle cut join runs once
+    # both sides of the candidate self-join read `filtered`; persist +
+    # materialize so the hot-shingle cut join runs once
     filtered = pairs_base.join(df_counts.where(F.col("df") <= max_df), "shingle").persist()
+    filtered.count()
     a = filtered.alias("a")
     b = filtered.alias("b")
     common = (
