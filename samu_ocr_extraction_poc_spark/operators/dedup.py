@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.textfns import normalized, token_md5_long, tokens
+from ..functions.textfns import normalized, tokens
 
 SIMHASH_BITS = 32
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..schema import SPANS_TYPE  # noqa: F401  (documented contract)
 
 
 def split_by_pages(docs: DataFrame, pages_per_chunk: int = 25) -> DataFrame:

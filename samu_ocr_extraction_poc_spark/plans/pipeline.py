@@ -36,7 +36,7 @@ from ..operators.correspondence import (
 from ..operators.expense import expenses_by_page
 from ..operators.html import strip_boilerplate
 from ..operators.layout import reading_order_lines
-from ..operators.pages import get_page_text, line_texts, real_pages, span_pages
+from ..operators.pages import get_page_text, line_texts, real_pages
 from ..operators.pleading import BadFormatError, get_header, get_numbered_paragraphs, get_queries
 from ..schema import LINEAGE_SCHEMA, RESULT_SCHEMA
 
