@@ -808,6 +808,53 @@ def extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def extract_routing_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled flagship cross-check: run the FULL Arrow extraction engine
+    over the synthesized corpus and report per-family doc + span counts —
+    while the DuckDB oracle PREDICTS the same numbers from pure SQL (the
+    synth rotation and span arithmetic re-derived from sha256(doc_id)).
+    The engine's routing, span assembly, and Arrow round-trip are thereby
+    checked against an independent engine, not just row counts."""
+    from .fixtures import synth_corpus_from_documents
+    from .plans.pipeline import run_extraction
+
+    docs = synth_corpus_from_documents(_t(spark, sf_dir, "documents"))
+    res = run_extraction(docs)
+    return res.groupBy("doc_type").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_spans").cast("bigint").alias("total_spans"),
+    )
+
+
+# mirrors fixtures.spans_from_text exactly: sel = sha256(key)[:8] % 20;
+# letter: lines + page_breaks (+ media if h%3==0); html: 1 span;
+# transcript: min(nl,8); pleading: 10+min(nl,5); medical: 2+min(nl,6);
+# expense: 3; media-heavy: 1+2*min(nl,4)
+ROUTING_CHECK_SQL = """
+WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS key, len(string_split(text, ' ')) AS nw FROM documents),
+h AS (SELECT key, ('0x' || substr(sha256(key), 1, 8))::BIGINT AS hv,
+             CAST(ceil(nw / 8.0) AS BIGINT) AS nl
+      FROM base),
+r AS (SELECT CASE WHEN hv % 20 < 10 THEN 'correspondence_letter'
+                  WHEN hv % 20 < 13 THEN 'html'
+                  WHEN hv % 20 < 15 THEN 'correspondence_transcript'
+                  WHEN hv % 20 < 17 THEN 'pleading'
+                  WHEN hv % 20 < 19 THEN 'medical'
+                  ELSE 'correspondence_letter' END AS doc_type,
+             CASE WHEN hv % 20 < 10 THEN nl + CAST(ceil(nl / 5.0) AS BIGINT)
+                                         + CASE WHEN hv % 3 = 0 THEN 1 ELSE 0 END
+                  WHEN hv % 20 < 13 THEN 1
+                  WHEN hv % 20 < 15 THEN least(nl, 8)
+                  WHEN hv % 20 < 17 THEN 10 + least(nl, 5)
+                  WHEN hv % 20 < 18 THEN 2 + least(nl, 6)
+                  WHEN hv % 20 < 19 THEN 3
+                  ELSE 1 + 2 * least(nl, 4) END AS n_spans
+      FROM h)
+SELECT doc_type, count(*) AS n_docs, sum(n_spans) AS total_spans
+FROM r GROUP BY doc_type
+"""
+
+
 def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N8 boilerplate strip over deterministically synthesized HTML docs."""
     from .operators.html import strip_boilerplate as _sb
@@ -905,6 +952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": events_hourly,
     "user_sessions": user_sessions,
     "extract_pipeline": extract_pipeline,
+    "extract_routing_check": extract_routing_check,
     "html_strip": html_strip_q,
     "xy_cut_layout": xy_cut_q,
 }
@@ -939,6 +987,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_blocked_top_pairs": EMBED_PAIRS_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "user_sessions": SESSIONS_SQL,
+    "extract_routing_check": ROUTING_CHECK_SQL,
     # extract_pipeline / html_strip / xy_cut_layout: non-SQL-expressible
     # (Arrow UDF engine ops) -> rows-only checks by design.
 }
