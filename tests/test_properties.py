@@ -149,3 +149,33 @@ def test_extract_document_total_and_deterministic(items):
     assert a["status"] in ("done", "error")
     outs = a["out_spans"]
     assert [s["offset"] for s in outs] == list(range(len(outs)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("line"), st.text(alphabet="ab ", min_size=1, max_size=6)),
+            st.tuples(st.just("page_break"), st.integers(1, 99).map(str)),
+        ),
+        max_size=60,
+    ),
+    st.integers(1, 7),
+)
+def test_split_by_pages_preserves_content(items, chunk):
+    """Property: page-aligned chunking loses no spans, keeps order, and each
+    non-first chunk starts at a page_break (pure-Python mirror of the
+    Column logic, exercised against the Spark version in test_scale_paths)."""
+    spans = [
+        {"kind": k, "text": t, "media_ref": "", "offset": i}
+        for i, (k, t) in enumerate(items)
+    ]
+    # replicate split_by_pages semantics in Python
+    breaks = [i for i, s in enumerate(spans) if s["kind"] == "page_break"]
+    starts = sorted(set([0] + [b for j, b in enumerate(breaks) if j % chunk == 0]))
+    ends = starts[1:] + [len(spans)]
+    chunks = [spans[s:e] for s, e in zip(starts, ends) if e > s]
+    flat = [s for c in chunks for s in c]
+    assert flat == spans  # nothing lost, order preserved
+    for c in chunks[1:]:
+        assert c[0]["kind"] == "page_break"
