@@ -826,6 +826,47 @@ def extract_routing_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def extract_letter_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled content-assembly check: total raw_text characters the engine
+    assembles for the letter family. Letters re-join the original words, so
+    length(raw_text) = length(text) (+16 for docs with a media span: one
+    newline + the 15-char deterministic OCR placeholder) — DuckDB predicts
+    the exact total without running the engine."""
+    from .fixtures import synth_corpus_from_documents
+    from .plans.pipeline import run_extraction
+
+    docs = synth_corpus_from_documents(_t(spark, sf_dir, "documents"))
+    res = run_extraction(docs)
+    return (
+        res.where(F.col("doc_type") == "correspondence_letter")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("raw_text")).cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+LETTER_TEXT_SQL = """
+WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS key, text FROM documents),
+h AS (SELECT key, text, ('0x' || substr(sha256(key), 1, 8))::BIGINT AS hv,
+             string_split(text, ' ') AS w
+      FROM base),
+letters AS (SELECT text, hv, w,
+                   least(CAST(ceil(len(w) / 8.0) AS BIGINT), 4) AS k,
+                   CASE WHEN hv % 20 < 10 THEN 'plain' ELSE 'media_heavy' END AS sub
+            FROM h WHERE hv % 20 < 10 OR hv % 20 >= 19)
+SELECT count(*) AS n_docs,
+       sum(CASE WHEN sub = 'plain'
+                THEN length(text) + CASE WHEN hv % 3 = 0 THEN 16 ELSE 0 END
+                -- media-heavy: first k=min(nl,4) lines, each followed by a
+                -- 15-char OCR placeholder line, all newline-joined:
+                -- len(prefix of 8k words) + 16k
+                ELSE length(array_to_string(w[1:8 * CAST(k AS INT)], ' ')) + 16 * k
+           END) AS total_chars
+FROM letters
+"""
+
+
 # mirrors fixtures.spans_from_text exactly: sel = sha256(key)[:8] % 20;
 # letter: lines + page_breaks (+ media if h%3==0); html: 1 span;
 # transcript: min(nl,8); pleading: 10+min(nl,5); medical: 2+min(nl,6);
@@ -953,6 +994,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": user_sessions,
     "extract_pipeline": extract_pipeline,
     "extract_routing_check": extract_routing_check,
+    "extract_letter_text_check": extract_letter_text_check,
     "html_strip": html_strip_q,
     "xy_cut_layout": xy_cut_q,
 }
@@ -988,6 +1030,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "user_sessions": SESSIONS_SQL,
     "extract_routing_check": ROUTING_CHECK_SQL,
+    "extract_letter_text_check": LETTER_TEXT_SQL,
     # extract_pipeline / html_strip / xy_cut_layout: non-SQL-expressible
     # (Arrow UDF engine ops) -> rows-only checks by design.
 }
