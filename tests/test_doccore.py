@@ -378,3 +378,17 @@ def test_nlp_pins():
     assert nlp.extract_key_phrases(text) == ["On June", "Dr Jane Roe", "Acme Hospital LLC"]
     assert nlp.extract_entity_types("") == []
     assert nlp.extract_entities_for_texts([None, "", "Missouri"]) == ["LOCATION"]
+
+
+def test_html_link_ratio_boundary():
+    """N8 boundary pin: a block at exactly the 1/3 link-density threshold is
+    kept (<=); above it is dropped."""
+    # 30 text chars of which 10 are link text -> ratio exactly 1/3
+    body_text = "x" * 20
+    link_text = "y" * 10
+    html_keep = f"<html><body><p>{body_text}<a href='/'>{link_text}</a></p></body></html>"
+    kept = strip_boilerplate(html_keep)
+    assert kept and link_text in kept[0]
+    # 20 link chars of 30 -> ratio 2/3 -> dropped
+    html_drop = f"<html><body><p>{'x' * 10}<a href='/'>{'y' * 20}</a></p></body></html>"
+    assert strip_boilerplate(html_drop) == []
