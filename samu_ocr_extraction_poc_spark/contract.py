@@ -896,6 +896,39 @@ FROM r GROUP BY doc_type
 """
 
 
+def extract_transcript_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled content-assembly check #2: transcript-family folded-text
+    totals. The A4 fold (leading newline per utterance,
+    correspondence-extractor.text-extract.ts:86-91) gives
+    len(raw_text) = len(prefix of 8k words) + 1 for k = min(ceil(nw/8), 8)
+    utterances — DuckDB predicts the exact total."""
+    from .fixtures import synth_corpus_from_documents
+    from .plans.pipeline import run_extraction
+
+    docs = synth_corpus_from_documents(_t(spark, sf_dir, "documents"))
+    res = run_extraction(docs)
+    return (
+        res.where(F.col("doc_type") == "correspondence_transcript")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("raw_text")).cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+TRANSCRIPT_TEXT_SQL = """
+WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS key, text FROM documents),
+h AS (SELECT key, text, ('0x' || substr(sha256(key), 1, 8))::BIGINT AS hv,
+             string_split(text, ' ') AS w
+      FROM base),
+tr AS (SELECT w, least(CAST(ceil(len(w) / 8.0) AS BIGINT), 8) AS k
+       FROM h WHERE hv % 20 >= 13 AND hv % 20 < 15)
+SELECT count(*) AS n_docs,
+       sum(length(array_to_string(w[1:8 * CAST(k AS INT)], ' ')) + 1) AS total_chars
+FROM tr
+"""
+
+
 def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N8 boilerplate strip over deterministically synthesized HTML docs."""
     from .operators.html import strip_boilerplate as _sb
@@ -995,6 +1028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pipeline": extract_pipeline,
     "extract_routing_check": extract_routing_check,
     "extract_letter_text_check": extract_letter_text_check,
+    "extract_transcript_text_check": extract_transcript_text_check,
     "html_strip": html_strip_q,
     "xy_cut_layout": xy_cut_q,
 }
@@ -1031,6 +1065,7 @@ ORACLE_SQL: dict[str, str] = {
     "user_sessions": SESSIONS_SQL,
     "extract_routing_check": ROUTING_CHECK_SQL,
     "extract_letter_text_check": LETTER_TEXT_SQL,
+    "extract_transcript_text_check": TRANSCRIPT_TEXT_SQL,
     # extract_pipeline / html_strip / xy_cut_layout: non-SQL-expressible
     # (Arrow UDF engine ops) -> rows-only checks by design.
 }
