@@ -929,6 +929,42 @@ FROM tr
 """
 
 
+def extract_html_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled content-assembly check #3: html-family totals — DuckDB
+    predicts the output LENGTH of the DOM boilerplate stripper (N8): kept
+    blocks are the h1 ('Document N') and the k=min(nl,6) <p> blocks (line +
+    45-char filler); nav/footer and the containing <article> (innermost-
+    block dedup) contribute nothing. raw_text length =
+    9 + digits(N) + 1 + (prefix(8k words) - (k-1)) + 45k + (k-1)."""
+    from .fixtures import synth_corpus_from_documents
+    from .plans.pipeline import run_extraction
+
+    docs = synth_corpus_from_documents(_t(spark, sf_dir, "documents"))
+    res = run_extraction(docs)
+    return (
+        res.where(F.col("doc_type") == "html")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("raw_text")).cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+HTML_TEXT_SQL = """
+WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS key, text FROM documents),
+h AS (SELECT key, text, ('0x' || substr(sha256(key), 1, 8))::BIGINT AS hv,
+             string_split(text, ' ') AS w
+      FROM base),
+ht AS (SELECT w, hv, least(CAST(ceil(len(w) / 8.0) AS BIGINT), 6) AS k
+       FROM h WHERE hv % 20 >= 10 AND hv % 20 < 13)
+SELECT count(*) AS n_docs,
+       sum(9 + length(CAST(hv % 1000 AS VARCHAR)) + 1
+           + (length(array_to_string(w[1:8 * CAST(k AS INT)], ' ')) - (k - 1))
+           + 45 * k + (k - 1)) AS total_chars
+FROM ht
+"""
+
+
 def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N8 boilerplate strip over deterministically synthesized HTML docs."""
     from .operators.html import strip_boilerplate as _sb
@@ -1029,6 +1065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_routing_check": extract_routing_check,
     "extract_letter_text_check": extract_letter_text_check,
     "extract_transcript_text_check": extract_transcript_text_check,
+    "extract_html_text_check": extract_html_text_check,
     "html_strip": html_strip_q,
     "xy_cut_layout": xy_cut_q,
 }
@@ -1066,6 +1103,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_routing_check": ROUTING_CHECK_SQL,
     "extract_letter_text_check": LETTER_TEXT_SQL,
     "extract_transcript_text_check": TRANSCRIPT_TEXT_SQL,
+    "extract_html_text_check": HTML_TEXT_SQL,
     # extract_pipeline / html_strip / xy_cut_layout: non-SQL-expressible
     # (Arrow UDF engine ops) -> rows-only checks by design.
 }
