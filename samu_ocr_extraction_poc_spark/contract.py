@@ -965,6 +965,54 @@ FROM ht
 """
 
 
+def extract_pleading_medical_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled content-assembly check #4: pleading + medical family totals.
+    With this, EVERY synth family's raw_text byte count is predicted in
+    closed form by the oracle — the complete engine's text assembly is
+    cross-engine verified end-to-end."""
+    from .fixtures import synth_corpus_from_documents
+    from .plans.pipeline import run_extraction
+
+    docs = synth_corpus_from_documents(_t(spark, sf_dir, "documents"))
+    res = run_extraction(docs)
+    return (
+        res.where(F.col("doc_type").isin("pleading", "medical"))
+        .groupBy("doc_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("raw_text")).cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# caption lines: 'PARTY {h%97},' 'Plaintiff,' 'vs.' 'Cause No. {h%10000}-CV'
+# 'Division {h%12+1}' 'RESPONDENT {h%89} LLC,' 'Defendants.'; paragraphs
+# '{i+1}. {line}.' for the first k=min(nl,5) lines; newline-joined.
+# medical: one line of the first 8 words (sel 17) or '' (expense, sel 18).
+PLEADING_MED_TEXT_SQL = """
+WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS key, text FROM documents),
+h AS (SELECT key, ('0x' || substr(sha256(key), 1, 8))::BIGINT AS hv,
+             string_split(text, ' ') AS w
+      FROM base),
+p AS (SELECT 'pleading' AS doc_type,
+             (6 + length(CAST(hv % 97 AS VARCHAR)) + 1) + 10 + 3
+             + (10 + length(CAST(hv % 10000 AS VARCHAR)) + 3)
+             + (9 + length(CAST(hv % 12 + 1 AS VARCHAR)))
+             + (11 + length(CAST(hv % 89 AS VARCHAR)) + 5) + 11
+             + 4 * k + (length(array_to_string(w[1:8 * CAST(k AS INT)], ' ')) - (k - 1))
+             + (7 + k - 1) AS chars
+      FROM (SELECT hv, w, least(CAST(ceil(len(w) / 8.0) AS BIGINT), 5) AS k
+            FROM h WHERE hv % 20 >= 15 AND hv % 20 < 17)),
+m AS (SELECT 'medical' AS doc_type,
+             CASE WHEN hv % 20 = 17 THEN length(array_to_string(w[1:8], ' '))
+                  ELSE 0 END AS chars
+      FROM h WHERE hv % 20 IN (17, 18))
+SELECT doc_type, count(*) AS n_docs, sum(chars) AS total_chars
+FROM (SELECT * FROM p UNION ALL SELECT * FROM m)
+GROUP BY doc_type
+"""
+
+
 def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N8 boilerplate strip over deterministically synthesized HTML docs."""
     from .operators.html import strip_boilerplate as _sb
@@ -1066,6 +1114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_letter_text_check": extract_letter_text_check,
     "extract_transcript_text_check": extract_transcript_text_check,
     "extract_html_text_check": extract_html_text_check,
+    "extract_pleading_medical_text_check": extract_pleading_medical_text_check,
     "html_strip": html_strip_q,
     "xy_cut_layout": xy_cut_q,
 }
@@ -1104,6 +1153,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_letter_text_check": LETTER_TEXT_SQL,
     "extract_transcript_text_check": TRANSCRIPT_TEXT_SQL,
     "extract_html_text_check": HTML_TEXT_SQL,
+    "extract_pleading_medical_text_check": PLEADING_MED_TEXT_SQL,
     # extract_pipeline / html_strip / xy_cut_layout: non-SQL-expressible
     # (Arrow UDF engine ops) -> rows-only checks by design.
 }
