@@ -867,6 +867,12 @@ FROM letters
 """
 
 
+# NOTE: the four extract_*_check oracles re-derive the Python synth +
+# engine arithmetic in SQL and therefore assume the corpus text is
+# non-empty and single-space tokenized (true for the driver testdata;
+# Python str.split() and SQL string_split(' ') diverge on irregular
+# whitespace). The per-operator oracles above make no such assumption —
+# see tests/test_oracle_edge.py.
 # mirrors fixtures.spans_from_text exactly: sel = sha256(key)[:8] % 20;
 # letter: lines + page_breaks (+ media if h%3==0); html: 1 span;
 # transcript: min(nl,8); pleading: 10+min(nl,5); medical: 2+min(nl,6);
