@@ -106,7 +106,7 @@ def run_scaling() -> dict:
         lo_cores, hi_cores = 4, 16
         rounds = []
         best: dict[int, tuple[float, int]] = {}
-        for _ in range(3):
+        for _ in range(4):
             pair = {}
             for cores in (lo_cores, hi_cores):
                 spark = get_spark(
