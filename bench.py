@@ -3,9 +3,10 @@
 $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Also evidences the north_rule two-cluster-size scaling criterion as the
-sandbox proxy: the flagship extraction job at local[8] vs local[32] on the
-same input, reporting docs/sec at both and the scaling efficiency
-(tp_32/tp_8) / (32/8). See BENCH.md / BASELINE.md.
+sandbox proxy: the flagship extraction job at local[4] vs local[16] (N vs
+4N) on the same materialized corpus, interleaved rounds, reporting docs/sec
+at both plus raw and host-ceiling-normalized scaling efficiency. See
+BENCH.md / BASELINE.md for method and rationale.
 """
 
 from __future__ import annotations
