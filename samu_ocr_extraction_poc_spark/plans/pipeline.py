@@ -302,7 +302,7 @@ def run_extraction(
     n_parts: int | None = None,
     repartition: bool | None = None,
 ) -> DataFrame:
-    """documents(doc_id, spans) -> RESULT_SCHEMA via one mapInPandas stage.
+    """documents(doc_id, spans) -> RESULT_SCHEMA via one mapInArrow stage.
 
     ``part_id = pmod(xxhash64(doc_id), n_parts)`` is attached BEFORE the UDF
     so results stay co-partitioned with the lineage/anti-join key; giant
