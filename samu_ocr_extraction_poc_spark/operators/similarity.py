@@ -34,7 +34,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; a zero-norm vector yields -1.0 (DuckDB's
+    list_cosine_similarity convention) instead of an ANSI DIVIDE_BY_ZERO
+    error — one poison row must not kill a corpus-wide similarity job."""
+    return F.coalesce(
+        F.try_divide(_dot(a, b), _norm(a) * _norm(b)), F.lit(-1.0)
+    )
 
 
 def brute_topk(
@@ -99,7 +104,13 @@ def ivf_topk(
             F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("qn"),
             F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"),
         )
-        .select("query_id", "label", (F.col("dot") / (F.col("qn") * F.col("cn"))).alias("ccos"))
+        .select(
+            "query_id",
+            "label",
+            F.coalesce(
+                F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")), F.lit(-1.0)
+            ).alias("ccos"),
+        )
     )
     wbest = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
     routed = qc.withColumn("rn", F.row_number().over(wbest)).where(F.col("rn") == 1).select(

@@ -335,3 +335,18 @@ def test_kmeans_assign_converges_and_is_deterministic(spark):
         )
 
     assert inertia(3) <= inertia(1) + 1e-6
+
+
+def test_zero_vector_does_not_kill_similarity(spark):
+    """ANSI poison-row guard: a zero-norm embedding yields cos=-1.0 (the
+    DuckDB convention) instead of a DIVIDE_BY_ZERO job failure."""
+    from samu_ocr_extraction_poc_spark.operators.similarity import brute_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0], 0), (1, [0.0, 0.0], 0), (2, [2.0, 4.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = brute_topk(emb.where("vec_id >= 1"), emb.where("vec_id = 0"), k=2).collect()
+    by_n = {r["neighbor_id"]: r["cos"] for r in out}
+    assert by_n[1] == -1.0  # zero vector
+    assert abs(by_n[2] - 1.0) < 1e-6
