@@ -29,7 +29,7 @@ DOC_QUERIES = [
     "page_group_concat", "doc_digests", "source_router", "dedup_exact",
     "dedup_keepfirst", "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "simhash_near_pairs", "ngram_jaccard_top_pairs", "token_stats",
-    "lang_id_heuristic",
+    "lang_id_heuristic", "bpe_token_counts",
 ]
 
 
