@@ -392,3 +392,14 @@ def test_html_link_ratio_boundary():
     # 20 link chars of 30 -> ratio 2/3 -> dropped
     html_drop = f"<html><body><p>{'x' * 10}<a href='/'>{'y' * 20}</a></p></body></html>"
     assert strip_boilerplate(html_drop) == []
+
+
+def test_queries_multiple_answer_ids():
+    """Relationships[ANSWER].Ids is an array (stack.TextSaver.ts:34-40):
+    a query may link several QUERY_RESULT blocks, in id order."""
+    spans = FX._seq([
+        FX.span("query", "alias=court;text=Which court?", "a1,a2"),
+        FX.span("query_result", "CIRCUIT COURT", "a1"),
+        FX.span("query_result", "SIXTEENTH DISTRICT", "a2"),
+    ])
+    assert get_queries(spans) == {"court": ["CIRCUIT COURT", "SIXTEENTH DISTRICT"]}

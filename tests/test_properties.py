@@ -179,3 +179,21 @@ def test_split_by_pages_preserves_content(items, chunk):
     assert flat == spans  # nothing lost, order preserved
     for c in chunks[1:]:
         assert c[0]["kind"] == "page_break"
+
+
+@_SETTINGS
+@given(st.lists(st.sampled_from("abcde"), max_size=30))
+def test_ordered_distinct_properties(items):
+    """A2: insertion-ordered distinct — subsequence of input, first
+    occurrences only, idempotent."""
+    from samu_ocr_extraction_poc_spark.functions.nlp import _ordered_distinct
+
+    out = _ordered_distinct(items)
+    assert len(out) == len(set(items))
+    assert out == _ordered_distinct(out)
+    # order = first-occurrence order
+    seen = []
+    for x in items:
+        if x not in seen:
+            seen.append(x)
+    assert out == seen
