@@ -360,6 +360,28 @@ def canonical_corpus(spark: SparkSession, with_skew: bool = False) -> DataFrame:
     )
 
 
+def ocr_lookup_table(spark: SparkSession) -> DataFrame:
+    """FIXTURES.md §4 ``ocr_lookup(media_ref, text)`` as a table (the frozen
+    Textract stand-in; join-able or collect-to-broadcast)."""
+    return spark.createDataFrame(
+        sorted(OCR_LOOKUP.items()), "media_ref string, text string"
+    )
+
+
+def ontology_dict_table(spark: SparkSession) -> DataFrame:
+    """FIXTURES.md §4 ``ontology_dict(term, system, code, description,
+    score)`` as a table (drives the N5 dictionary matcher)."""
+    from .operators.medical import ONTOLOGY_DICT
+
+    rows = [
+        (term, system, code, desc, float(score))
+        for term, (system, _cat, _typ, code, desc, score) in sorted(ONTOLOGY_DICT.items())
+    ]
+    return spark.createDataFrame(
+        rows, "term string, system string, code string, description string, score double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Synthesis from plain text (driver documents table -> interleaved corpus)
 # ---------------------------------------------------------------------------

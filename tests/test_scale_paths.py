@@ -350,3 +350,13 @@ def test_zero_vector_does_not_kill_similarity(spark):
     by_n = {r["neighbor_id"]: r["cos"] for r in out}
     assert by_n[1] == -1.0  # zero vector
     assert abs(by_n[2] - 1.0) < 1e-6
+
+
+def test_auxiliary_lookup_tables(spark):
+    from samu_ocr_extraction_poc_spark.fixtures import ocr_lookup_table, ontology_dict_table
+
+    ocr = ocr_lookup_table(spark)
+    assert ocr.columns == ["media_ref", "text"] and ocr.count() == 3
+    ont = ontology_dict_table(spark)
+    assert ont.count() >= 10
+    assert ont.where("system = 'ICD10' AND code = 'I10'").count() == 1
