@@ -9,7 +9,14 @@ pipeline op) onto the driver testdata. Design rules for oracle parity:
   hash functions;
 - money/aggregates through DECIMAL casts (exact) or round(x, 2..4)
   (cushions FP summation-order drift);
-- timestamps rendered to strings with an explicit format.
+- timestamps rendered to strings with an explicit format;
+- **no DECIMAL and no DuckDB HUGEINT in any FINAL output column** (round-1
+  lesson, VERDICT.md "What's wrong"): the driver's value canonicalization is
+  trailing-zero-sensitive for decimals and renders HUGEINT (DuckDB's
+  sum(BIGINT/INT) result type) as a float. Exact DECIMAL arithmetic stays
+  internal; final money columns are rendered VARCHAR via the DECIMAL cast
+  (exact at any magnitude), and every integer sum() in oracle SQL is wrapped
+  in CAST(... AS BIGINT). tests/test_oracle_parity.py enforces both.
 
 Spark-side code is Catalyst-friendly: filters early, broadcast hints on
 dimension tables, array HOFs instead of explodes where the data is already
@@ -71,9 +78,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(price * disc).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(qty).cast("decimal(38,2)").cast("string").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").cast("string").alias("sum_base_price"),
+            F.sum(price * disc).cast("decimal(38,4)").cast("string").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -82,9 +89,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
        round(avg(l_quantity), 4) AS avg_qty,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -107,29 +114,37 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
+        .withColumn("revenue", F.col("revenue").cast("string"))
     )
 
 
 Q3_SQL = """
-SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
-  AND l_shipdate > TIMESTAMP '1995-03-15'
-GROUP BY l_orderkey, orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey LIMIT 10
+SELECT l_orderkey, orderdate, o_orderpriority, CAST(revenue AS VARCHAR) AS revenue
+FROM (
+  SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+    AND l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY l_orderkey, orderdate, o_orderpriority
+  ORDER BY revenue DESC, l_orderkey LIMIT 10
+)
 """
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-join with broadcast dimension chain (region->nation->customer)."""
+    """Multi-join with broadcast dimension chain (region->nation->customer).
+
+    Window is 1995 (testdata orders span 1995-01-01..1998-08-02; a 1994
+    window returned 0 rows at every sf and made the check vacuous —
+    VERDICT.md round-1 item 3)."""
     _utc(spark)
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
     )
     li = _t(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast("decimal(12,2)")
@@ -143,19 +158,19 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(dims, orders.o_custkey == F.col("c_custkey"))
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(rev).cast("decimal(38,4)").cast("string").alias("revenue"))
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1994-01-01'
-  AND o_orderdate < TIMESTAMP '1995-01-01'
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
 GROUP BY n_name
 """
 
@@ -181,17 +196,30 @@ WHERE rn <= 3
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 checkpoint-resume analog: left anti-join (SURVEY §2.3)."""
+    """J4 checkpoint-resume analog: left anti-join (SURVEY §2.3) — the
+    "skip already-completed partitions" shape of dynamodb-persistor.ts:21-33.
+
+    Anti-joins against the 1998 order slice (not all orders: every testdata
+    customer has SOME order, which made the round-1 check vacuous —
+    VERDICT.md item 3). "Customers without a recent (>= 1998-06-01) order" is the resume
+    analog: completed-this-epoch keys are subtracted from the work list."""
+    _utc(spark)
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "1998-06-01")
+        .select("o_custkey")
+    )
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
 
 ANTI_SQL = """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-06-01')
 """
 
 
@@ -203,13 +231,16 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(12,2)"))
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"), F.count("*").alias("n"))
+        .agg(
+            F.sum(rev).cast("decimal(38,4)").cast("string").alias("revenue"),
+            F.count("*").alias("n"),
+        )
     )
 
 
 ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS revenue,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
        count(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
@@ -252,15 +283,16 @@ def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w)
         .cast("decimal(38,2)")
+        .cast("string")
         .alias("running_total"),
     )
 
 
 RUNNING_SQL = """
 SELECT o_custkey, o_orderkey,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_total
+                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS VARCHAR) AS running_total
 FROM orders
 """
 
@@ -539,7 +571,7 @@ def props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROPS_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        count(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 END) AS n_parsed
 FROM events GROUP BY event_type
 """
@@ -780,7 +812,7 @@ s AS (SELECT user_id,
       FROM f),
 g AS (SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY user_id, sid)
 SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
-       sum(n_events) AS total_events
+       CAST(sum(n_events) AS BIGINT) AS total_events
 FROM g GROUP BY user_id
 """
 
@@ -856,13 +888,13 @@ letters AS (SELECT text, hv, w,
                    CASE WHEN hv % 20 < 10 THEN 'plain' ELSE 'media_heavy' END AS sub
             FROM h WHERE hv % 20 < 10 OR hv % 20 >= 19)
 SELECT count(*) AS n_docs,
-       sum(CASE WHEN sub = 'plain'
+       CAST(sum(CASE WHEN sub = 'plain'
                 THEN length(text) + CASE WHEN hv % 3 = 0 THEN 16 ELSE 0 END
                 -- media-heavy: first k=min(nl,4) lines, each followed by a
                 -- 15-char OCR placeholder line, all newline-joined:
                 -- len(prefix of 8k words) + 16k
                 ELSE length(array_to_string(w[1:8 * CAST(k AS INT)], ' ')) + 16 * k
-           END) AS total_chars
+           END) AS BIGINT) AS total_chars
 FROM letters
 """
 
@@ -897,7 +929,7 @@ r AS (SELECT CASE WHEN hv % 20 < 10 THEN 'correspondence_letter'
                   WHEN hv % 20 < 19 THEN 3
                   ELSE 1 + 2 * least(nl, 4) END AS n_spans
       FROM h)
-SELECT doc_type, count(*) AS n_docs, sum(n_spans) AS total_spans
+SELECT doc_type, count(*) AS n_docs, CAST(sum(n_spans) AS BIGINT) AS total_spans
 FROM r GROUP BY doc_type
 """
 
@@ -930,7 +962,7 @@ h AS (SELECT key, text, ('0x' || substr(sha256(key), 1, 8))::BIGINT AS hv,
 tr AS (SELECT w, least(CAST(ceil(len(w) / 8.0) AS BIGINT), 8) AS k
        FROM h WHERE hv % 20 >= 13 AND hv % 20 < 15)
 SELECT count(*) AS n_docs,
-       sum(length(array_to_string(w[1:8 * CAST(k AS INT)], ' ')) + 1) AS total_chars
+       CAST(sum(length(array_to_string(w[1:8 * CAST(k AS INT)], ' ')) + 1) AS BIGINT) AS total_chars
 FROM tr
 """
 
@@ -964,9 +996,9 @@ h AS (SELECT key, text, ('0x' || substr(sha256(key), 1, 8))::BIGINT AS hv,
 ht AS (SELECT w, hv, least(CAST(ceil(len(w) / 8.0) AS BIGINT), 6) AS k
        FROM h WHERE hv % 20 >= 10 AND hv % 20 < 13)
 SELECT count(*) AS n_docs,
-       sum(9 + length(CAST(hv % 1000 AS VARCHAR)) + 1
+       CAST(sum(9 + length(CAST(hv % 1000 AS VARCHAR)) + 1
            + (length(array_to_string(w[1:8 * CAST(k AS INT)], ' ')) - (k - 1))
-           + 45 * k + (k - 1)) AS total_chars
+           + 45 * k + (k - 1)) AS BIGINT) AS total_chars
 FROM ht
 """
 
@@ -1013,7 +1045,7 @@ m AS (SELECT 'medical' AS doc_type,
              CASE WHEN hv % 20 = 17 THEN length(array_to_string(w[1:8], ' '))
                   ELSE 0 END AS chars
       FROM h WHERE hv % 20 IN (17, 18))
-SELECT doc_type, count(*) AS n_docs, sum(chars) AS total_chars
+SELECT doc_type, count(*) AS n_docs, CAST(sum(chars) AS BIGINT) AS total_chars
 FROM (SELECT * FROM p UNION ALL SELECT * FROM m)
 GROUP BY doc_type
 """

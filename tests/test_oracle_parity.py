@@ -32,31 +32,63 @@ def duck():
 
 
 def _norm(v):
-    """Exact-equality normalization: floats compare bit-for-bit (the driver
-    hashes values; any FP divergence between engines must be fixed in the
-    QUERY, not masked here). Only type-level normalization is applied."""
+    """Type-strict canonicalization (driver-faithful, VERDICT.md round-1
+    item 2): every value becomes a (type_tag, canonical_string) pair, so an
+    int64 "42" can never equal a float/decimal "42.0", and a Decimal keeps
+    its scale (trailing zeros) — exactly the two mechanisms behind the
+    round-1 driver hash failures. No Decimal->float masking."""
+    import datetime
+    import decimal
+
     if v is None:
         return None
     if isinstance(v, bool):
-        return v
+        return ("bool", str(v))
+    if isinstance(v, int):
+        return ("int", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return v
-    import decimal
-
+            return ("float", "nan")
+        return ("float", repr(v))
     if isinstance(v, decimal.Decimal):
-        return float(v)
-    import datetime
-
+        return ("decimal", str(v))
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return str(v)
-    return v
+        return ("ts", str(v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v).hex())
+    if isinstance(v, (list, tuple)):
+        return ("list", str([_norm(x) for x in v]))
+    return (type(v).__name__, str(v))
 
 
 def _rows(rows, cols):
     normed = [tuple(_norm(r[c]) for c in cols) for r in rows]
     return sorted(normed, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_types_are_driver_safe(duck, name):
+    """The driver's value canonicalization renders DuckDB HUGEINT (the
+    result type of sum(BIGINT/INT)) as a float and is trailing-zero-
+    sensitive for DECIMAL — both hash-mismatch against Spark's int64/string.
+    Forbid them in any FINAL oracle column: integer sums must be
+    CAST(... AS BIGINT), money must be rendered VARCHAR (or rounded DOUBLE)
+    on both sides. (VERDICT.md round-1 items 1-2.)"""
+    desc = duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    bad = [(c[0], c[1]) for c in desc
+           if c[1] == "HUGEINT" or c[1].startswith("DECIMAL")]
+    assert not bad, f"{name}: driver-unsafe oracle output types {bad}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_spark_output_types_are_driver_safe(spark, name):
+    """Mirror of the oracle-side check: no DecimalType may reach a final
+    Spark output column (render VARCHAR / rounded DOUBLE instead)."""
+    from pyspark.sql.types import DecimalType
+
+    sdf = QUERIES[name](spark, SF_DIR)
+    bad = [f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not bad, f"{name}: DecimalType output columns {bad}"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -71,6 +103,9 @@ def test_query_matches_oracle(spark, duck, name):
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
     assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    # Non-vacuity: a 0-row result proves nothing (round-1 q5 /
+    # customers_without_orders lesson — VERDICT.md item 3).
+    assert len(spark_rows) > 0, f"{name}: vacuous (0 rows) — check is meaningless"
     cols = sorted(spark_cols)
     srows, drows = _rows(spark_rows, cols), _rows(duck_rows, cols)
     mismatches = [(a, b) for a, b in zip(srows, drows) if a != b]
