@@ -39,8 +39,29 @@ def js_parse_float(s: str | None) -> float | None:
 
 def to_fixed_2(x: float) -> str:
     """JS ``Number.prototype.toFixed(2)`` — 2-decimal string, no thousands
-    separators (stack.ExpenseSaver.ts:213-228)."""
-    return f"{x:.2f}"
+    separators (stack.ExpenseSaver.ts:213-228).
+
+    ECMA-262 Number::toFixed semantics, not Python ``f"{x:.2f}"``: the spec
+    takes the absolute value, picks the integer n minimizing |n/100 - x| and
+    on an exact binary tie picks the LARGER n (round-half-up on the
+    magnitude), then prefixes "-" iff x < 0. Python's format rounds
+    half-to-even on ties: 0.125 -> "0.12" vs JS "0.13". The tie branch uses
+    the exact binary value of the double (Decimal(x) is exact), so all
+    non-tie doubles format identically to before."""
+    import decimal
+    import math
+
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "-Infinity" if x < 0 else "Infinity"
+    sign = "-" if x < 0 else ""  # strictly < 0: (-0.0).toFixed(2) is "0.00"
+    with decimal.localcontext() as ctx:
+        ctx.prec = 1100  # a double's exact decimal expansion always fits
+        mag = decimal.Decimal(abs(x)).quantize(
+            decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+        )
+    return sign + str(mag)
 
 
 def parse_document_value(raw: str | None) -> float | None:

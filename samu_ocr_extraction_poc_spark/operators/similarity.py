@@ -172,7 +172,7 @@ def kmeans_assign(
     )
 
     assign = None
-    for _ in range(iterations):
+    for it in range(iterations):
         scored = (
             dims.join(F.broadcast(cent), "dim")
             .groupBy("vid", "cluster")
@@ -184,13 +184,25 @@ def kmeans_assign(
             .where(F.col("rn") == 1)
             .select("vid", "cluster")
         )
-        cent = (
-            dims.join(assign, "vid")
-            .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("cval"))
-            .persist()
-        )
-    return assign.select(F.col("vid").alias(id_col), "cluster")
+        prev_cent = cent
+        if it < iterations - 1:
+            cent = (
+                dims.join(assign, "vid")
+                .groupBy("cluster", "dim")
+                .agg(F.avg("v").alias("cval"))
+                .persist()
+            )
+            # the new centroid frame no longer references the old one once
+            # materialized; eagerly count() then release the previous cache
+            # so N iterations hold O(1) cached frames, not O(N)
+            cent.count()
+        prev_cent.unpersist()
+    # materialize the final assignment before releasing dims — its lineage
+    # still reads the exploded frame
+    assign = assign.select(F.col("vid").alias(id_col), "cluster").persist()
+    assign.count()
+    dims.unpersist()
+    return assign
 
 
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:

@@ -41,6 +41,24 @@ from ..operators.pleading import BadFormatError, get_header, get_numbered_paragr
 from ..schema import LINEAGE_SCHEMA, RESULT_SCHEMA
 
 _QUERY_ALIASES = ("state", "county", "court", "district")  # stack.PleadingExtractor.ts:41-50
+_HEADER_FIELDS = ("plaintifs", "caseNumber", "division", "defendents")
+
+
+def merge_header_fields(
+    queries: dict,
+    header: dict,
+    aliases: tuple = _QUERY_ALIASES,
+    fields: tuple = _HEADER_FIELDS,
+) -> dict:
+    """Reference merge order ``{...queries, ...header}`` (pleading
+    stack.TextSaver.ts:219-231): header fields OVERRIDE query aliases on a
+    key collision. With the current 4+4 disjoint key sets the order is
+    unobservable, but the priority is load-bearing if an alias is ever added
+    that shadows a header field — pinned by test_doccore."""
+    return {
+        **{a: queries.get(a, []) for a in aliases},
+        **{k: header.get(k) for k in fields},
+    }
 
 
 def route_doc_type(kinds: set[str]) -> str:
@@ -185,10 +203,7 @@ def extract_document(
             paragraphs = get_numbered_paragraphs(lines)
             res.update(
                 pages=[p if p is not None else None for p in pages],
-                header={
-                    **{k: header.get(k) for k in ("plaintifs", "caseNumber", "division", "defendents")},
-                    **{a: queries.get(a, []) for a in _QUERY_ALIASES},
-                },
+                header=merge_header_fields(queries, header),
                 paragraphs=paragraphs,
                 # reference stores `new Set(entities)` (TextSaver.ts:228) —
                 # insertion-ordered distinct (A2)

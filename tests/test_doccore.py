@@ -157,6 +157,39 @@ def test_sanitize_and_parse_money():
     assert to_fixed_2(1234.5) == "1234.50"
 
 
+def test_to_fixed_2_js_tie_rounding():
+    """ECMA-262 Number::toFixed picks the LARGER n on an exact binary tie
+    (round-half-up on the magnitude), where Python's format rounds
+    half-to-even: 0.125 is exactly representable, so it IS a tie."""
+    assert to_fixed_2(0.125) == "0.13"  # Python f"{0.125:.2f}" gives "0.12"
+    assert to_fixed_2(-0.125) == "-0.13"  # spec negates first, then ties up
+    assert to_fixed_2(0.375) == "0.38"  # tie; half-even agrees here
+    assert to_fixed_2(1.005) == "1.00"  # NOT a tie: stored as 1.00499999...
+    assert to_fixed_2(-0.0) == "0.00"  # sign only when x < 0 strictly
+    assert to_fixed_2(-0.004) == "-0.00"  # ...but kept when it rounds to 0
+    assert to_fixed_2(float("nan")) == "NaN"
+    assert to_fixed_2(float("inf")) == "Infinity"
+
+
+def test_header_merge_priority_header_wins():
+    """Reference merge is {...queries, ...header} (TextSaver.ts:219-231):
+    on a key collision the header field overrides the query alias."""
+    from samu_ocr_extraction_poc_spark.plans.pipeline import merge_header_fields
+
+    merged = merge_header_fields(
+        {"division": ["query-division"], "state": ["MO"]},
+        {"division": "header-division", "caseNumber": "12-CV"},
+        aliases=("state", "division"),
+        fields=("division", "caseNumber"),
+    )
+    assert merged["division"] == "header-division"  # header wins collision
+    assert merged["state"] == ["MO"]
+    assert merged["caseNumber"] == "12-CV"
+    # default key sets: aliases absent from queries default to []
+    base = merge_header_fields({}, {})
+    assert base["state"] == [] and base["plaintifs"] is None
+
+
 # --- F3-F5 / A3 medical ------------------------------------------------------
 
 

@@ -337,6 +337,26 @@ def test_kmeans_assign_converges_and_is_deterministic(spark):
     assert inertia(3) <= inertia(1) + 1e-6
 
 
+def test_kmeans_releases_iteration_caches(spark):
+    """Iterative-algorithm cache discipline (VERDICT.md round-1 item 9):
+    each Lloyd iteration persists a centroid frame; all intermediates must
+    be unpersisted by exit or a many-iteration run accretes O(iterations)
+    cached frames on the executors. Only the returned assignment frame may
+    remain cached."""
+    from samu_ocr_extraction_poc_spark.operators.similarity import kmeans_assign
+
+    sc = spark.sparkContext
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    before = sc._jsc.getPersistentRDDs().size()
+    assign = kmeans_assign(emb, k=5, iterations=10)
+    assign.count()
+    after = sc._jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (
+        f"cached-frame leak: {after - before} new persistent RDDs after 10 iterations"
+    )
+    assign.unpersist()
+
+
 def test_zero_vector_does_not_kill_similarity(spark):
     """ANSI poison-row guard: a zero-norm embedding yields cos=-1.0 (the
     DuckDB convention) instead of a DIVIDE_BY_ZERO job failure."""
