@@ -505,8 +505,15 @@ FROM b
 
 
 def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 near-dup pairs at the operator's 0.5 default threshold.
+
+    Round-1 benched threshold=0.0, which shipped EVERY candidate pair into
+    the global top-k (O(all-pairs) at 100 TB — VERDICT.md item 6). At 0.5
+    the early c/na bound inside ngram_jaccard_pairs prunes background pairs
+    right after the count, and only true near-dups (25-260 pairs at sandbox
+    sfs — still non-vacuous) reach the sort."""
     pairs = DD.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.0, max_df=100
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5, max_df=100
     )
     return pairs.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(20)
 
@@ -523,36 +530,30 @@ SELECT doc_a, doc_b,
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) >= 0.0
+WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) >= 0.5
 ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
 """
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: block on the top 8 bits (bucket join, no
-    corpus x corpus), then hamming distance via bit_count(xor) <= 12.
-    At web scale the multi-probe variant rotates the blocking bits."""
+    """SimHash near-dup pairs via 16-bit multi-probe rotation blocking
+    (operators/dedup.py:simhash_multiprobe_pairs): 2^16 buckets per probe
+    keep every per-bucket self-join ~n^2/65536 (the round-1 8-bit prefix
+    block was O(n^2/256) — a 10^9-doc scale-killer, VERDICT.md item 5),
+    and the 4 cyclic rotations recover recall. Exact hamming <= 12 re-ranks.
+    Integer-only, so the oracle replays it exactly."""
     sig = DD.simhash(_t(spark, sf_dir, "documents")).persist()  # both join sides
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    joined = a.join(
-        b,
-        (F.shiftright(F.col("sh_a"), 24) == F.shiftright(F.col("sh_b"), 24))
-        & (F.col("doc_a") < F.col("doc_b")),
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return joined.select("doc_a", "doc_b", ham.cast("int").alias("hamming")).where(
-        F.col("hamming") <= 12
-    )
+    return DD.simhash_multiprobe_pairs(sig, max_hamming=12)
 
 
 SIMHASH_PAIRS_SQL = (
-    "WITH sig AS (" + SIMHASH_SQL + ")\n"
-    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+    "WITH sig AS (" + SIMHASH_SQL + "),\n"
+    "probes AS (SELECT doc_id, simhash, r,\n"
+    "       ((((simhash << r) & 4294967295) | (simhash >> (32 - r))) >> 16) AS bkey\n"
+    "  FROM sig, (SELECT unnest([0, 8, 16, 24]) AS r) rr)\n"
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
     "       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming\n"
-    "FROM sig a JOIN sig b\n"
-    "  ON (a.simhash >> CAST(24 AS BIGINT)) = (b.simhash >> CAST(24 AS BIGINT))\n"
-    " AND a.doc_id < b.doc_id\n"
+    "FROM probes a JOIN probes b ON a.r = b.r AND a.bkey = b.bkey AND a.doc_id < b.doc_id\n"
     "WHERE bit_count(xor(a.simhash, b.simhash)) <= 12\n"
 )
 

@@ -337,6 +337,30 @@ def test_kmeans_assign_converges_and_is_deterministic(spark):
     assert inertia(3) <= inertia(1) + 1e-6
 
 
+def test_simhash_multiprobe_recall_and_blocking(spark):
+    """16-bit multi-probe rotation blocking: a 1-bit flip kills at most 2 of
+    the 4 overlapping windows (each bit is covered by exactly two of the
+    stride-8 cyclic windows), so hamming-1 pairs are ALWAYS candidates;
+    pairs beyond max_hamming never surface even when they share a bucket."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import simhash_multiprobe_pairs
+
+    x = 0b1011_0110_1100_0011_1010_0101_0110_1001
+    rows = [
+        ("a", x),
+        ("b", x ^ (1 << 5)),          # ham 1 -> must be found (guaranteed)
+        ("c", x ^ (1 << 31)),         # ham 1 at the top bit -> must be found
+        ("d", x ^ 0x1FFF),            # ham 13 > 12 -> must be filtered out
+        ("e", 0x0),                   # far from everything
+    ]
+    sig = spark.createDataFrame(rows, "doc_id string, simhash long")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_multiprobe_pairs(sig, max_hamming=12).collect()}
+    assert got[("a", "b")] == 1
+    assert got[("a", "c")] == 1
+    assert ("a", "d") not in got  # hamming 13 exceeds the threshold
+    assert ("b", "c")in got and got[("b", "c")] == 2
+
+
 def test_kmeans_releases_iteration_caches(spark):
     """Iterative-algorithm cache discipline (VERDICT.md round-1 item 9):
     each Lloyd iteration persists a centroid frame; all intermediates must
