@@ -718,21 +718,103 @@ WHERE rn <= 3
 
 
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative relational k-means over embeddings (rows-only: FP argmin
-    near-ties make exact cross-engine assignment impractical): cluster
-    sizes after 3 Lloyd iterations."""
+    """Iterative relational k-means over embeddings: cluster sizes after 3
+    Lloyd iterations.
+
+    Oracled since round 2 (VERDICT.md item 4): KMEANS_SQL unrolls the same
+    3 Lloyd iterations in DuckDB (same seeds = 8 smallest vec_ids, same
+    lower-cluster-id argmin tie-break, squared distance as a plain multiply
+    so both engines do the identical IEEE arithmetic). The fixture is
+    tie-free: per-vector argmin gaps are orders of magnitude above any
+    FP summation-order drift."""
     emb = _t(spark, sf_dir, "embeddings")
     assign = SIM.kmeans_assign(emb, k=8, iterations=3)
-    return assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return assign.groupBy("cluster").agg(F.count("*").alias("n_members")).select(
+        F.col("cluster").cast("int").alias("cluster"), "n_members"
+    )
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 3) -> str:
+    """DuckDB replay of kmeans_assign (similarity.py): unrolled Lloyd."""
+    parts = [
+        f"""WITH dims AS (SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.cluster, d.dim, d.v AS cval FROM dims d JOIN seeds s ON d.vid = s.vec_id)"""
+    ]
+    for it in range(1, iterations + 1):
+        parts.append(
+            f""",
+s{it} AS (SELECT d.vid, c.cluster, sum((d.v - c.cval) * (d.v - c.cval)) AS d2
+      FROM dims d JOIN c{it - 1} c USING (dim) GROUP BY d.vid, c.cluster),
+a{it} AS (SELECT vid, cluster FROM (SELECT vid, cluster,
+            row_number() OVER (PARTITION BY vid ORDER BY d2 ASC, cluster ASC) AS rn FROM s{it})
+      WHERE rn = 1)"""
+        )
+        if it < iterations:
+            parts.append(
+                f""",
+c{it} AS (SELECT a.cluster, d.dim, avg(d.v) AS cval
+      FROM dims d JOIN a{it} a USING (vid) GROUP BY a.cluster, d.dim)"""
+            )
+    parts.append(
+        f"""
+SELECT CAST(cluster AS INT) AS cluster, count(*) AS n_members
+FROM a{iterations} GROUP BY cluster"""
+    )
+    return "".join(parts)
+
+
+KMEANS_SQL = _kmeans_sql()
 
 
 def embed_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-free cosine LSH near-dup candidates (Charikar hyperplanes) —
-    rows-only check: the bucket bit depends on float dot-product signs,
-    which cannot be made bit-identical across engines near zero."""
+    """Label-free cosine LSH near-dup candidates (Charikar hyperplanes).
+
+    Fully oracled since round 2: the sign bits are exact fixed-point
+    integer dot products (floor(v*1e6) x integer plane), so DuckDB replays
+    the identical candidate set; the re-rank cosine is round(4)-stable
+    (same as embed_blocked_top_pairs). Round 1 left this rows-only because
+    float-dot signs near zero are summation-order-dependent."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = SIM.hyperplane_lsh_pairs(emb, dim=64, n_tables=6, bits_per_table=4)
     return pairs.orderBy(F.col("cos").desc(), "id_a", "id_b").limit(50)
+
+
+def _hyperplane_sql() -> str:
+    """DuckDB replay of hyperplane_lsh_pairs: same integer planes (generated
+    by the same md5 scheme), same fixed-point quantization, same bucket
+    keys, same round(4) cosine re-rank."""
+    n_tables, bits, dim = 6, 4, 64
+    planes = SIM._hyperplanes(n_tables * bits, dim)
+    rows = ",\n    ".join(
+        f"({p // bits}, {p % bits}, [{', '.join(str(v) for v in planes[p])}])"
+        for p in range(n_tables * bits)
+    )
+    return f"""
+WITH planes(t, i, pv) AS (VALUES
+    {rows}),
+e AS (SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {SIM.QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings),
+bits AS (SELECT e.vec_id, p.t,
+                CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                                                  d -> e.q[d] * p.pv[d])) > 0
+                     THEN CAST(1 AS BIGINT) << p.i ELSE CAST(0 AS BIGINT) END AS bit
+         FROM e, planes p),
+bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bkt FROM bits GROUP BY vec_id, t),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bk a JOIN bk b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+ORDER BY cos DESC, id_a, id_b LIMIT 50
+"""
+
+
+HYPERPLANE_SQL = _hyperplane_sql()
 
 
 def embed_blocked_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,7 +1163,19 @@ def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def xy_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4 reading order over synthesized two-column word boxes."""
+    """W4 reading order over synthesized two-column word boxes.
+
+    Oracled since round 2 (closed-form invariants, VERDICT.md item 4): the
+    synth geometry puts word i in the left column iff i < n/2 at row
+    i % (n//2), x staggered by 0.1*(i%3). The inter-column whitespace
+    (>= 0.22) always beats any in-column gap (<= 0.12), in-column row gaps
+    (0.02) are below Y_GAP_MIN, and consecutive indices cover the three x
+    offsets without holes except one 2-box right-column case whose split
+    preserves the line COUNT — so the XY-cut always yields exactly
+    n_lines = 2*(n//2) lines for n >= 2 (1 for n == 1), first_line is the
+    left column's row 0 (word 0, plus word n//2 when n is odd), and the
+    total line-char mass is sum(word lengths) + (n - n_lines) separators.
+    DuckDB predicts all three per doc without running the engine."""
     from .operators.layout import reading_order_lines
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1090,7 +1184,7 @@ def xy_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _cut(batches):
         for pdf in batches:
-            out_n, out_first = [], []
+            out_n, out_first, out_chars = [], [], []
             for txt in pdf["text"]:
                 words = txt.split()[:24]
                 spans = []
@@ -1105,11 +1199,36 @@ def xy_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lines = reading_order_lines(spans)
                 out_n.append(len(lines))
                 out_first.append(lines[0] if lines else None)
+                out_chars.append(sum(len(l) for l in lines))
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "n_lines": out_n, "first_line": out_first}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_lines": out_n,
+                    "first_line": out_first,
+                    "total_line_chars": out_chars,
+                }
             )
 
-    return docs.mapInPandas(_cut, "doc_id long, n_lines int, first_line string")
+    return docs.mapInPandas(
+        _cut, "doc_id long, n_lines int, first_line string, total_line_chars int"
+    )
+
+
+XY_CUT_SQL = """
+WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS wa FROM documents),
+t AS (SELECT doc_id, wa[1:24] AS w, least(len(wa), 24) AS n FROM base),
+c AS (SELECT doc_id, w, n, n // 2 AS m,
+             CASE WHEN n = 0 THEN 0 WHEN n = 1 THEN 1 ELSE 2 * (n // 2) END AS n_lines
+      FROM t)
+SELECT doc_id,
+       CAST(n_lines AS INT) AS n_lines,
+       CASE WHEN n = 0 THEN NULL
+            WHEN n >= 3 AND n % 2 = 1 THEN w[1] || ' ' || w[CAST(m AS INT) + 1]
+            ELSE w[1] END AS first_line,
+       CAST(CASE WHEN n = 0 THEN 0
+            ELSE length(array_to_string(w, ' ')) + 1 - n_lines END AS INT) AS total_line_chars
+FROM c
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1186,6 +1305,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_topk_cosine": EMBED_TOPK_SQL,
     "embed_ivf_topk": EMBED_IVF_SQL,
     "embed_blocked_top_pairs": EMBED_PAIRS_SQL,
+    "embed_hyperplane_pairs": HYPERPLANE_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "user_sessions": SESSIONS_SQL,
     "extract_routing_check": ROUTING_CHECK_SQL,
@@ -1193,6 +1313,9 @@ ORACLE_SQL: dict[str, str] = {
     "extract_transcript_text_check": TRANSCRIPT_TEXT_SQL,
     "extract_html_text_check": HTML_TEXT_SQL,
     "extract_pleading_medical_text_check": PLEADING_MED_TEXT_SQL,
-    # extract_pipeline / html_strip / xy_cut_layout: non-SQL-expressible
-    # (Arrow UDF engine ops) -> rows-only checks by design.
+    "xy_cut_layout": XY_CUT_SQL,
+    "kmeans_clusters": KMEANS_SQL,
+    # extract_pipeline / html_strip: Arrow-UDF wide-row engine ops ->
+    # rows-only by design; their routing/span/byte totals ARE oracled via
+    # the extract_*_check entries above.
 }

@@ -173,10 +173,14 @@ def kmeans_assign(
 
     assign = None
     for it in range(iterations):
+        # (v-c)*(v-c), not (v-c)**2: Spark's ** lowers to pow(), whose last
+        # ulp may differ from DuckDB's pow — a plain multiply is IEEE-exact
+        # on both engines, keeping the distance replayable by the oracle.
+        diff = F.col("v") - F.col("cval")
         scored = (
             dims.join(F.broadcast(cent), "dim")
             .groupBy("vid", "cluster")
-            .agg(F.sum((F.col("v") - F.col("cval")) ** 2).alias("d2"))
+            .agg(F.sum(diff * diff).alias("d2"))
         )
         w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("cluster").asc())
         assign = (
@@ -205,9 +209,16 @@ def kmeans_assign(
     return assign
 
 
-def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes from md5 (no runtime RNG:
-    same planes every run, every executor)."""
+QUANT_SCALE = 1_000_000  # fixed-point scale for sign-exact LSH (see below)
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random INTEGER hyperplanes from md5 (no runtime
+    RNG: same planes every run, every executor; integer components so the
+    bucket sign bit is exact integer arithmetic — float dot-product signs
+    near zero are FP-summation-order-dependent and cannot be replayed
+    bit-for-bit by an independent engine, which kept this operator
+    oracle-less in round 1)."""
     import hashlib
 
     planes = []
@@ -215,9 +226,26 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
         row = []
         for d in range(dim):
             h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16)
-            row.append(h / float(1 << 28) - 8.0)  # ~uniform in [-8, 8)
+            row.append(h % 17 - 8)  # integer, ~uniform in [-8, 8]
         planes.append(row)
     return planes
+
+
+def _dot_fixed_point(vec: Column, plane: list[int]) -> Column:
+    """Exact integer dot product: floor(v * 1e6) (float32 -> double is
+    exact, the multiply and floor are IEEE-deterministic) times the integer
+    plane component, summed as BIGINT — order-independent, so Spark and the
+    DuckDB oracle agree on every sign bit."""
+    plane_col = F.array(*[F.lit(int(p)).cast("long") for p in plane])
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            plane_col,
+            lambda x, p: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE))).cast("long") * p,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def hyperplane_lsh_pairs(
@@ -237,6 +265,10 @@ def hyperplane_lsh_pairs(
 
     The scale path when no cluster label exists: per-table bucket occupancy
     is corpus/2^b, so each self-join is per-bucket.
+
+    Sign bits use exact fixed-point integer arithmetic (_dot_fixed_point),
+    making the candidate set — and therefore the whole query — replayable
+    bit-for-bit by the DuckDB oracle (HYPERPLANE_SQL in contract.py).
     Returns distinct (id_a, id_b, cos).
     """
     planes = _hyperplanes(n_tables * bits_per_table, dim)
@@ -246,8 +278,7 @@ def hyperplane_lsh_pairs(
         bucket = None
         for i in range(bits_per_table):
             plane = planes[t * bits_per_table + i]
-            plane_col = F.array(*[F.lit(v) for v in plane])
-            bit = (_dot(vec, plane_col) > 0).cast("long") * F.lit(2 ** i)
+            bit = (_dot_fixed_point(vec, plane) > 0).cast("long") * F.lit(2 ** i)
             bucket = bit if bucket is None else bucket + bit
         tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("bkt")))
     base = corpus.select(
