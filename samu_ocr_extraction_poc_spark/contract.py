@@ -659,6 +659,77 @@ FROM c
 """
 
 
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/corpus.py)."""
+    from .operators import corpus as CP
+
+    return CP.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+REPETITION_SQL = """
+WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+tg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                             i -> array_to_string(w[i:i+2], ' '))) AS g
+       FROM norm),
+tgc AS (SELECT doc_id, g, count(*) AS cnt FROM tg GROUP BY doc_id, g),
+tfrac AS (SELECT doc_id,
+                 round(sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END)
+                       / sum(cnt * length(g)), 4) AS dup_trigram_char_frac
+          FROM tgc GROUP BY doc_id),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                             i -> array_to_string(w[i:i+1], ' '))) AS g
+       FROM norm),
+bgc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY doc_id, g),
+bfrac AS (SELECT doc_id, round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_bigram_frac
+          FROM bgc GROUP BY doc_id)
+SELECT d.doc_id, tfrac.dup_trigram_char_frac, bfrac.top_bigram_frac
+FROM documents d
+LEFT JOIN tfrac ON tfrac.doc_id = d.doc_id
+LEFT JOIN bfrac ON bfrac.doc_id = d.doc_id
+"""
+
+
+def pack_token_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/corpus.py): shard-local token windows."""
+    from .operators import corpus as CP
+
+    return CP.pack_token_windows(_t(spark, sf_dir, "documents"), budget=256, n_shards=32)
+
+
+PACK_SQL = """
+WITH b AS (SELECT doc_id,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 32 AS shard,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split(trim(text), ' ')) END AS n_tok
+           FROM documents),
+c AS (SELECT shard, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      FROM b)
+SELECT shard, CAST(floor(start / 256.0) AS BIGINT) AS bin,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+FROM c GROUP BY shard, bin
+"""
+
+
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket stratified sampling (operators/corpus.py)."""
+    from .operators import corpus as CP
+
+    return CP.stratified_sample(
+        _t(spark, sf_dir, "documents"), rates={"en": 500, "de": 250}, default_rate=100
+    )
+
+
+STRATIFIED_SQL = """
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+                     < (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -1260,6 +1331,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": token_stats,
     "lang_id_heuristic": lang_id_heuristic,
     "bpe_token_counts": bpe_token_counts,
+    "repetition_stats": repetition_stats_q,
+    "pack_token_windows": pack_token_windows_q,
+    "stratified_sample": stratified_sample_q,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
     "embed_blocked_top_pairs": embed_blocked_top_pairs,
@@ -1302,6 +1376,9 @@ ORACLE_SQL: dict[str, str] = {
     "token_stats": TOKEN_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
     "bpe_token_counts": BPE_SQL,
+    "repetition_stats": REPETITION_SQL,
+    "pack_token_windows": PACK_SQL,
+    "stratified_sample": STRATIFIED_SQL,
     "embed_topk_cosine": EMBED_TOPK_SQL,
     "embed_ivf_topk": EMBED_IVF_SQL,
     "embed_blocked_top_pairs": EMBED_PAIRS_SQL,

@@ -1,0 +1,137 @@
+"""Training-corpus construction operators (beyond the reference's own
+surface — SURVEY.md §2.12 family): quality signals, sequence packing and
+stratified sampling used when turning an extracted corpus into LLM
+training data. All JVM-side Column expressions (no Python in the hot
+path), all exactly replayable by the DuckDB oracle (contract.py).
+
+- :func:`repetition_stats` — Gopher-style repetition quality signals
+  (fraction of characters in duplicate word trigrams; top-bigram mass).
+  Repetitious boilerplate scores high and gets filtered before training.
+- :func:`pack_token_windows` — greedy sequence packing: hash-shard the
+  corpus, order each shard deterministically, assign every document to the
+  fixed-size token window its cumulative offset lands in. The shard is the
+  scale unit: packing is embarrassingly parallel across shards, and no
+  global (single-partition) window function ever runs.
+- :func:`stratified_sample` — deterministic per-language downsampling via
+  md5 buckets: reproducible across runs/engines, no RNG state to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textfns import normalized, token_count, tokens
+
+
+def _kgrams(text_col: Column, k: int) -> Column:
+    """Word k-grams of the normalized text WITH multiplicity (dedup's
+    shingles() is distinct — multiplicity is the whole point here)."""
+    toks = tokens(normalized(text_col))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    # sequence(1, n-k+1) would run DESCENDING for n < k — guard to empty
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filtering):
+
+    - ``dup_trigram_char_frac``: fraction of trigram characters belonging
+      to trigrams that occur >= 2 times in the document;
+    - ``top_bigram_frac``: occurrence share of the most frequent bigram.
+
+    Both round(4) doubles; NULL when the document is too short to form the
+    n-gram. One explode + two partial-aggregable groupBys per signal.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    tri = base.select("doc_id", F.explode(_kgrams(F.col("text"), 3)).alias("g"))
+    tri_counts = tri.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    tri_frac = tri_counts.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("g")).otherwise(0))
+            / F.sum(F.col("cnt") * F.length("g")),
+            4,
+        ).alias("dup_trigram_char_frac")
+    )
+    bi = base.select("doc_id", F.explode(_kgrams(F.col("text"), 2)).alias("g"))
+    bi_counts = bi.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    bi_frac = bi_counts.groupBy("doc_id").agg(
+        F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_bigram_frac")
+    )
+    return (
+        base.select("doc_id")
+        .join(tri_frac, "doc_id", "left")
+        .join(bi_frac, "doc_id", "left")
+    )
+
+
+def _md5_bucket(col: Column, hex_chars: int, modulus: int) -> Column:
+    """Deterministic integer bucket from md5 hex — identical in DuckDB as
+    ('0x' || substr(md5(x), 1, n))::BIGINT % m."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, hex_chars), 16, 10)
+        .cast("bigint") % modulus
+    )
+
+
+def pack_token_windows(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for training: assign each document to the
+    ``budget``-token window its cumulative token offset starts in, within
+    its md5 hash shard (shard-local cumulative sums — the scale path; a
+    global ORDER BY would serialize the corpus through one partition).
+
+    Returns (shard, bin, n_docs, bin_tokens).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        _md5_bucket(F.col(id_col), 4, n_shards).alias("shard"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = base.withColumn(
+        "start", F.sum("n_tok").over(w) - F.col("n_tok")
+    ).withColumn("bin", F.floor(F.col("start") / F.lit(float(budget))).cast("bigint"))
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    default_rate: int = 100,
+    denom: int = 1000,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified downsampling: keep a document iff its md5
+    bucket (of ``denom``) is below its stratum's rate. Reproducible across
+    engines and runs (no RNG), map-side only until the count.
+
+    Returns per-stratum (lang, n_total, n_kept).
+    """
+    rate: Column = F.lit(default_rate)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col(strat_col) == lang, F.lit(r)).otherwise(rate)
+    kept = F.when(_md5_bucket(F.col(id_col), 8, denom) < rate, 1).otherwise(0)
+    return df.groupBy(F.col(strat_col).alias("lang")).agg(
+        F.count("*").alias("n_total"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+    )

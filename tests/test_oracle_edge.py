@@ -30,6 +30,7 @@ DOC_QUERIES = [
     "dedup_keepfirst", "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "simhash_near_pairs", "ngram_jaccard_top_pairs", "token_stats",
     "lang_id_heuristic", "bpe_token_counts",
+    "repetition_stats", "pack_token_windows", "stratified_sample",
 ]
 
 
