@@ -32,7 +32,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracles; non-SQL-expressible engine ops
-    (extract_pipeline, html_strip, xy_cut_layout) are intentionally absent
-    -> rows-only checks."""
+    """DuckDB-runnable ANSI SQL oracles; the two wide-row Arrow engine ops
+    (extract_pipeline, html_strip) are intentionally absent -> rows-only
+    checks (their routing/span/byte totals are oracled via the
+    extract_*_check entries)."""
     return dict(ORACLE_SQL)

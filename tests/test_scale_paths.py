@@ -184,6 +184,19 @@ def test_q5_uses_broadcast_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_pack_token_windows_has_no_global_window(spark):
+    """Sequence packing must stay shard-parallel: the cumulative-sum window
+    partitions by the md5 shard, so the plan must contain NO SinglePartition
+    exchange (a global ORDER BY window would serialize the whole corpus
+    through one task at 100 TB)."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import pack_token_windows
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_token_windows(docs))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan  # the window runs per shard
+
+
 def test_extraction_is_narrow_on_wide_input(spark, tmp_path):
     from samu_ocr_extraction_poc_spark.plans.pipeline import run_extraction
 
