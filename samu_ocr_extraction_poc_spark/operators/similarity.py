@@ -231,21 +231,11 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
     return planes
 
 
-def _dot_fixed_point(vec: Column, plane: list[int]) -> Column:
-    """Exact integer dot product: floor(v * 1e6) (float32 -> double is
-    exact, the multiply and floor are IEEE-deterministic) times the integer
-    plane component, summed as BIGINT — order-independent, so Spark and the
-    DuckDB oracle agree on every sign bit."""
-    plane_col = F.array(*[F.lit(int(p)).cast("long") for p in plane])
-    return F.aggregate(
-        F.zip_with(
-            vec,
-            plane_col,
-            lambda x, p: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE))).cast("long") * p,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+# Fixed-point sign-bit scheme: q = floor(v * QUANT_SCALE) (float32 -> double
+# is exact; the multiply and floor are IEEE-deterministic), then each sign
+# bit is sign(sum q_d * plane_d) — a pure BIGINT sum, order-independent, so
+# Spark and the DuckDB oracle agree on every bucket bit. See
+# hyperplane_lsh_pairs below and HYPERPLANE_SQL in contract.py.
 
 
 def hyperplane_lsh_pairs(
@@ -266,24 +256,43 @@ def hyperplane_lsh_pairs(
     The scale path when no cluster label exists: per-table bucket occupancy
     is corpus/2^b, so each self-join is per-bucket.
 
-    Sign bits use exact fixed-point integer arithmetic (_dot_fixed_point),
+    Sign bits use exact fixed-point integer arithmetic (quantize once,
     making the candidate set — and therefore the whole query — replayable
     bit-for-bit by the DuckDB oracle (HYPERPLANE_SQL in contract.py).
     Returns distinct (id_a, id_b, cos).
     """
     planes = _hyperplanes(n_tables * bits_per_table, dim)
     vec = F.col(vec_col)
+    # Quantize ONCE per row (q = floor(v*1e6) as long), then every plane dot
+    # is a pure integer zip_with over q — computing floor inside each of the
+    # n_tables*bits dots would redo the same float work 24x per row.
+    quantized = corpus.select(
+        F.col(id_col).alias("vid"),
+        vec.alias("vec"),
+        F.transform(
+            vec, lambda x: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE))).cast("long")
+        ).alias("q"),
+    )
+
+    def _int_dot(plane: list[int]) -> Column:
+        plane_col = F.array(*[F.lit(int(p)).cast("long") for p in plane])
+        return F.aggregate(
+            F.zip_with(F.col("q"), plane_col, lambda x, p: x * p),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
     tables = []
     for t in range(n_tables):
         bucket = None
         for i in range(bits_per_table):
             plane = planes[t * bits_per_table + i]
-            bit = (_dot_fixed_point(vec, plane) > 0).cast("long") * F.lit(2 ** i)
+            bit = (_int_dot(plane) > 0).cast("long") * F.lit(2 ** i)
             bucket = bit if bucket is None else bucket + bit
         tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("bkt")))
-    base = corpus.select(
-        F.col(id_col).alias("vid"),
-        vec.alias("vec"),
+    base = quantized.select(
+        "vid",
+        "vec",
         F.explode(F.array(*tables)).alias("tb"),
     ).select("vid", "vec", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
     a = base.alias("a")
