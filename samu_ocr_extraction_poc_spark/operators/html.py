@@ -43,13 +43,17 @@ _WS_RE = re.compile(r"\s+")
 
 
 class _Block:
-    __slots__ = ("tag", "texts", "link_chars", "order")
+    __slots__ = ("tag", "texts", "link_chars", "order", "ancestors")
 
-    def __init__(self, tag: str, order: int):
+    def __init__(self, tag: str, order: int, ancestors: frozenset[int]):
         self.tag = tag
         self.texts: list[str] = []
         self.link_chars = 0
         self.order = order
+        # orders of the enclosing block elements at creation time — the
+        # innermost-block dedup must only fire on true ancestor/descendant
+        # pairs, never on siblings that happen to share a text suffix
+        self.ancestors = ancestors
 
 
 class _ContentParser(HTMLParser):
@@ -72,7 +76,9 @@ class _ContentParser(HTMLParser):
         if tag == "a":
             self.anchor_depth += 1
         if tag in _BLOCK_TAGS:
-            blk = _Block(tag, self.counter)
+            blk = _Block(
+                tag, self.counter, frozenset(b.order for b in self.block_stack)
+            )
             self.counter += 1
             self.block_stack.append(blk)
             self.blocks.append(blk)
@@ -106,7 +112,7 @@ def strip_boilerplate(html: str) -> list[str]:
         parser.close()
     except Exception:
         return []
-    kept: list[tuple[int, str]] = []
+    kept: list[tuple[int, frozenset[int], str]] = []
     for blk in parser.blocks:
         text = _WS_RE.sub(" ", " ".join(blk.texts)).strip()
         if not text:
@@ -115,14 +121,21 @@ def strip_boilerplate(html: str) -> list[str]:
         link_ratio = blk.link_chars / n if n else 1.0
         min_len = MIN_HEADING_TEXT if blk.tag in _HEADING_TAGS else MIN_TEXT
         if n >= min_len and link_ratio <= MAX_LINK_RATIO:
-            kept.append((blk.order, text))
+            kept.append((blk.order, blk.ancestors, text))
     kept.sort(key=lambda t: t[0])
-    # nested blocks can duplicate text (div > p): keep the innermost by
-    # dropping any block whose text contains a later-kept block's text
+    # nested blocks duplicate text (div > p): keep the innermost by dropping
+    # any ANCESTOR whose text contains a kept descendant's text. The
+    # ancestry check is load-bearing: a plain substring test also fires on
+    # SIBLINGS whose text happens to end with a later sibling's text
+    # (observed on a real corpus doc — a long <p> ending exactly with the
+    # next short <p>'s line), silently deleting main content.
     out: list[str] = []
-    texts = [t for _, t in kept]
-    for i, t in enumerate(texts):
-        if any(j != i and texts[j] in t and len(texts[j]) < len(t) for j in range(len(texts))):
+    for order, _, text in kept:
+        if any(
+            order in anc and t in text and len(t) < len(text)
+            for o2, anc, t in kept
+            if o2 != order
+        ):
             continue
-        out.append(t)
+        out.append(text)
     return out

@@ -303,6 +303,23 @@ def test_html_strip_keeps_article_drops_boilerplate():
     assert "promotional" not in joined  # sidebar class dropped
 
 
+def test_html_strip_dedup_is_ancestry_scoped():
+    """Innermost-block dedup must only drop true ANCESTORS of a kept block.
+    A sibling <p> whose text happens to end with the next <p>'s entire text
+    must survive (regression: a real corpus doc lost a main-content block
+    this way); a wrapping <div> duplicating its child <p>'s text must still
+    be deduped to the innermost."""
+    tail = "and some more prose to pass the length gate."
+    sib = (
+        f"<html><body><article><p>alpha beta gamma delta {tail}</p>"
+        f"<p>{tail}</p></article></body></html>"
+    )
+    blocks = strip_boilerplate(sib)
+    assert blocks == [f"alpha beta gamma delta {tail}", tail]
+    nested = f"<html><body><div><p>nested child text {tail}</p></div></body></html>"
+    assert strip_boilerplate(nested) == [f"nested child text {tail}"]
+
+
 # --- W4 layout ---------------------------------------------------------------
 
 
