@@ -125,7 +125,10 @@ def run_scaling() -> dict:
         # smaller configs just sample the noise differently. 4/16 with a
         # doubled corpus (REPLICATE=48) measured best.
         lo_cores, hi_cores = 4, 16
-        n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "6"))
+        # 5 rounds: in repeated 6-round runs the best round always landed in
+        # the first five; the 6th adds ~56s of wall for no observed gain,
+        # and total bench time must stay well under any driver timeout.
+        n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
         rounds = []
         best: dict[int, tuple[float, int]] = {}
         for _ in range(n_rounds):
