@@ -33,6 +33,9 @@ HEADLINE = [
     "simhash",
     "ngram_jaccard_top_pairs",
     "token_stats",
+    "repetition_stats",
+    "pack_token_windows",
+    "stratified_sample",
     "embed_topk_cosine",
     "embed_ivf_topk",
     "events_hourly",
