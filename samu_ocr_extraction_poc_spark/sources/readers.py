@@ -68,6 +68,67 @@ def exclude_manifest_files(df: DataFrame) -> DataFrame:
     return df.where(~F.input_file_name().contains("Manifest"))
 
 
+def spans_from_plain_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_line: int = 8,
+    lines_per_page: int = 5,
+) -> DataFrame:
+    """Ingestion adapter: plain-text documents -> the engine's interleaved
+    (doc_id, spans) corpus shape (BASELINE.json input_hint). This is the
+    on-ramp for a user whose corpus is raw text / JSONL / CSV rather than
+    pre-segmented spans: words fold into ``words_per_line``-word line spans
+    with a ``page_break`` span after every ``lines_per_page`` lines, offsets
+    sequential — the correspondence-letter structure run_extraction expects.
+
+    Pure array HOFs (transform/sequence/slice/flatten): zero shuffle, zero
+    Python — the ingest stays narrow on the source scan at any corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_lines = F.ceil(F.size(words) / float(words_per_line)).cast("int")
+    line_span = lambda i: F.struct(  # noqa: E731
+        F.lit("line").alias("kind"),
+        F.array_join(
+            F.slice(words, (i - 1) * words_per_line + 1, words_per_line), " "
+        ).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(None).cast("int").alias("offset"),  # filled below
+    )
+    page_break = F.struct(
+        F.lit("page_break").alias("kind"),
+        F.lit("").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(None).cast("int").alias("offset"),
+    )
+    # line i, plus a page_break after every lines_per_page-th line
+    per_line = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.when(
+            i % lines_per_page == 0, F.array(line_span(i), page_break)
+        ).otherwise(F.array(line_span(i))),
+    )
+    flat = F.flatten(per_line)
+    spans = F.transform(
+        flat,
+        lambda s, idx: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            idx.cast("int").alias("offset"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.when(F.length(F.trim(F.col(text_col))) > 0, spans).otherwise(
+            F.array().cast(DOCUMENTS_SCHEMA["spans"].dataType)
+        ).alias("spans"),
+    )
+    return out
+
+
 def read_text_corpus(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Generic text-corpus reader (S1/S2 analog: scans replace per-object
     GETs; key filters become partition/file pruning)."""

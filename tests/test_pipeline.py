@@ -258,3 +258,39 @@ def test_compat_facade(spark):
     assert len(ple) == 2
     ok = next(r for r in ple if r["status"] == "done")
     assert ok["header"]["plaintifs"] == "JANE ROE,"
+
+
+def test_plain_text_ingestion_adapter(spark):
+    """sources.readers.spans_from_plain_text: raw text -> interleaved span
+    corpus -> full engine. Word sequence must round-trip exactly (lines are
+    8-word folds; raw_text joins them with newlines), docs route to the
+    letter family, and the ingest plan must stay narrow (no Exchange)."""
+    from pyspark.sql import functions as F
+
+    from samu_ocr_extraction_poc_spark.plans.pipeline import run_extraction
+    from samu_ocr_extraction_poc_spark.sources.readers import spans_from_plain_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = spans_from_plain_text(docs)
+    plan = corpus._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # ingest is narrow on the scan
+
+    res = run_extraction(corpus, repartition=False)
+    out = {
+        r["doc_id"]: (r["doc_type"], r["raw_text"])
+        for r in res.select("doc_id", "doc_type", "raw_text").collect()
+    }
+    src = {str(r["doc_id"]): r["text"] for r in docs.collect()}
+    assert len(out) == len(src)
+    for did, text in src.items():
+        doc_type, raw = out[did]
+        assert doc_type == "correspondence_letter"
+        assert raw.split() == text.split(), did  # exact word round-trip
+
+    # empty text -> empty spans -> unknown family, not a crash
+    empty = spans_from_plain_text(
+        spark.createDataFrame([(99, "")], "doc_id long, text string")
+    )
+    assert empty.collect()[0]["spans"] == []
