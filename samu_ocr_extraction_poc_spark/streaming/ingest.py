@@ -98,6 +98,36 @@ def stream_user_totals(
     )
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "1 hour",
+    ts_col: str = "ingest_ts",
+):
+    """Streaming exact dedup for a continuously-arriving corpus: md5 the
+    normalized text, `dropDuplicates` on the hash under a watermark so the
+    dedup state is bounded (keys older than the watermark are evicted —
+    at 10^12 docs unbounded dedup state is the failure mode, the watermark
+    is what makes this run forever). First occurrence wins, matching the
+    batch keep-first semantics (operators/dedup.py).
+
+    Returns the streaming DataFrame of surviving (deduped) documents;
+    start it with writeStream (tests use append memory sink + availableNow).
+    """
+    from ..functions.textfns import normalized
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long, "
+        f"{ts_col} timestamp"
+    )
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        docs.withColumn("text_hash", F.md5(normalized(F.col("text"))))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["text_hash"])
+    )
+
+
 def stream_event_metrics(
     spark: SparkSession,
     events: DataFrame | None = None,

@@ -142,6 +142,39 @@ def test_stream_event_metrics_memory_sink(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_exact_dedup_watermarked(spark, tmp_path):
+    """Streaming dedup: duplicate texts across the stream collapse to the
+    first arrival; distinct texts all survive; the watermark bounds state."""
+    from samu_ocr_extraction_poc_spark.streaming.ingest import stream_exact_dedup
+
+    rows = [
+        (1, "alpha beta gamma", "en", "s1", 16, "2024-01-01 10:00:00"),
+        (2, "alpha beta gamma", "en", "s2", 16, "2024-01-01 10:05:00"),  # dup of 1
+        (3, "delta epsilon", "en", "s3", 13, "2024-01-01 10:10:00"),
+        (4, "Alpha  beta GAMMA!", "en", "s4", 18, "2024-01-01 10:15:00"),  # norm-dup of 1
+        (5, "zeta", "en", "s5", 4, "2024-01-01 10:20:00"),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long, ingest_ts string",
+    ).withColumn("ingest_ts", F.col("ingest_ts").cast("timestamp"))
+    d = str(tmp_path / "docstream")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    q = (
+        stream_exact_dedup(spark, d)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_out").collect()}
+    assert len(got) == 3  # one per distinct normalized text
+    assert 3 in got and 5 in got
+    assert len(got & {1, 2, 4}) == 1  # exactly one survivor of the dup group
+
+
 def test_stream_extract_foreachbatch(spark, tmp_path):
     docs = FX.canonical_corpus(spark)
     in_dir = str(tmp_path / "incoming")
