@@ -659,6 +659,30 @@ FROM c
 """
 
 
+def shared_window_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dup candidates: pairs sharing a 16-word window
+    (operators/dedup.py:shared_window_pairs), top-50 by shared count."""
+    pairs = DD.shared_window_pairs(_t(spark, sf_dir, "documents"), k=16, max_df=50)
+    return pairs.orderBy(F.col("n_shared").desc(), "doc_a", "doc_b").limit(50)
+
+
+SHARED_WINDOW_SQL = """
+WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(w) - 15, 1) + 1),
+                              i -> array_to_string(w[i:i+15], ' ')))) AS shingle
+       FROM norm),
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+filt AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) WHERE df <= 50)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM filt a JOIN filt b USING (shingle)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 1
+ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50
+"""
+
+
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (operators/corpus.py)."""
     from .operators import corpus as CP
@@ -1331,6 +1355,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": token_stats,
     "lang_id_heuristic": lang_id_heuristic,
     "bpe_token_counts": bpe_token_counts,
+    "shared_window_pairs": shared_window_pairs_q,
     "repetition_stats": repetition_stats_q,
     "pack_token_windows": pack_token_windows_q,
     "stratified_sample": stratified_sample_q,
@@ -1376,6 +1401,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_stats": TOKEN_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
     "bpe_token_counts": BPE_SQL,
+    "shared_window_pairs": SHARED_WINDOW_SQL,
     "repetition_stats": REPETITION_SQL,
     "pack_token_windows": PACK_SQL,
     "stratified_sample": STRATIFIED_SQL,

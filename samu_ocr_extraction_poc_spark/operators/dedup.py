@@ -292,3 +292,35 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def shared_window_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    min_shared: int = 1,
+    max_df: int = 50,
+) -> DataFrame:
+    """Exact-substring duplication candidates (the training-data dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"):
+    two documents sharing ANY exact k-word window almost surely share a
+    long copied passage. Inverted index over distinct k-word windows;
+    windows appearing in > max_df documents (boilerplate) are cut from
+    candidate generation — the same fan-out bound as ngram_jaccard_pairs.
+
+    Returns (doc_a, doc_b, n_shared) with n_shared = number of distinct
+    shared windows, >= min_shared.
+    """
+    sh = doc_shingles(df, text_col, id_col, k).persist()
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    filtered = sh.join(dfc.where(F.col("df") <= max_df), "shingle")
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
