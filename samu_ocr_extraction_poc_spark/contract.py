@@ -683,6 +683,33 @@ ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50
 """
 
 
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination (operators/dedup.py:
+    cross_corpus_contamination) over an id-parity pseudo-split of the
+    documents table: even doc_ids play the training corpus, odd ones the
+    held-out set."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    return DD.cross_corpus_contamination(train, test, k=16, max_df=50)
+
+
+CONTAMINATION_SQL = """
+WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 15, 1) + 1),
+                             i -> array_to_string(w[i:i+15], ' ')))) AS shingle
+       FROM norm),
+tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 2 = 0),
+te AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+dfc AS (SELECT shingle, count(*) AS df FROM tr GROUP BY shingle)
+SELECT te.doc_id, count(DISTINCT te.shingle) AS n_windows_hit,
+       count(DISTINCT tr.train_id) AS n_train_docs
+FROM te JOIN tr USING (shingle) JOIN dfc USING (shingle)
+WHERE dfc.df <= 50
+GROUP BY te.doc_id
+"""
+
+
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (operators/corpus.py)."""
     from .operators import corpus as CP
@@ -1356,6 +1383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_heuristic": lang_id_heuristic,
     "bpe_token_counts": bpe_token_counts,
     "shared_window_pairs": shared_window_pairs_q,
+    "contamination_check": contamination_check_q,
     "repetition_stats": repetition_stats_q,
     "pack_token_windows": pack_token_windows_q,
     "stratified_sample": stratified_sample_q,
@@ -1402,6 +1430,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id_heuristic": LANG_ID_SQL,
     "bpe_token_counts": BPE_SQL,
     "shared_window_pairs": SHARED_WINDOW_SQL,
+    "contamination_check": CONTAMINATION_SQL,
     "repetition_stats": REPETITION_SQL,
     "pack_token_windows": PACK_SQL,
     "stratified_sample": STRATIFIED_SQL,

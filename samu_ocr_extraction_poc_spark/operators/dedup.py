@@ -324,3 +324,38 @@ def shared_window_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    max_df: int = 50,
+) -> DataFrame:
+    """Benchmark-contamination check: for each TEST document, how many of
+    its exact k-word windows appear anywhere in the TRAIN corpus (and in
+    how many train documents). The standard pre-training hygiene pass —
+    a test doc with any hit leaked into the training set.
+
+    Same inverted-index construction as shared_window_pairs, but the join
+    is train x test (no self-join): the train index is built once, hot
+    boilerplate windows (train df > max_df) are cut, and each test window
+    probes it. Returns (doc_id, n_windows_hit, n_train_docs) for
+    contaminated test docs only.
+    """
+    tr = doc_shingles(train, text_col, id_col, k).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    te = doc_shingles(test, text_col, id_col, k)
+    dfc = tr.groupBy("shingle").agg(F.count("*").alias("df"))
+    tr_cut = tr.join(dfc.where(F.col("df") <= max_df), "shingle")
+    return (
+        te.join(tr_cut, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_windows_hit"),
+            F.countDistinct("train_id").alias("n_train_docs"),
+        )
+    )
