@@ -839,6 +839,40 @@ WHERE rn <= 3
 """
 
 
+def embed_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k (operators/similarity.py:quantized_topk):
+    integer dot products over per-vector-scaled codes. Exact integer
+    arithmetic until one final division, so the oracle replays it
+    bit-for-bit — no FP-sum leniency needed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return SIM.quantized_topk(corpus, queries, k=3)
+
+
+EMBED_QUANT_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+q8 AS (SELECT vec_id,
+              CASE WHEN scale > 0
+                   THEN list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
+                   ELSE list_transform(v, x -> CAST(0 AS INT)) END AS qv
+       FROM sc),
+qq AS (SELECT vec_id AS query_id, qv FROM q8 WHERE vec_id < 5),
+qc AS (SELECT vec_id AS neighbor_id, qv FROM q8 WHERE vec_id >= 5),
+s AS (SELECT query_id, neighbor_id,
+             round(CAST(list_sum(list_transform(range(1, 65), d -> CAST(qq.qv[d] AS BIGINT) * qc.qv[d])) AS DOUBLE)
+                   / (sqrt(CAST(list_sum(list_transform(range(1, 65), d -> CAST(qq.qv[d] AS BIGINT) * qq.qv[d])) AS DOUBLE))
+                      * sqrt(CAST(list_sum(list_transform(range(1, 65), d -> CAST(qc.qv[d] AS BIGINT) * qc.qv[d])) AS DOUBLE))), 4) AS qcos
+      FROM qq, qc)
+SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, qcos
+FROM (SELECT query_id, neighbor_id, qcos,
+             row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rn
+      FROM s)
+WHERE rn <= 3
+"""
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative relational k-means over embeddings: cluster sizes after 3
     Lloyd iterations.
@@ -1389,6 +1423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": stratified_sample_q,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
+    "embed_quantized_topk": embed_quantized_topk,
     "embed_blocked_top_pairs": embed_blocked_top_pairs,
     "embed_hyperplane_pairs": embed_hyperplane_pairs,
     "kmeans_clusters": kmeans_clusters,
@@ -1436,6 +1471,7 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_sample": STRATIFIED_SQL,
     "embed_topk_cosine": EMBED_TOPK_SQL,
     "embed_ivf_topk": EMBED_IVF_SQL,
+    "embed_quantized_topk": EMBED_QUANT_SQL,
     "embed_blocked_top_pairs": EMBED_PAIRS_SQL,
     "embed_hyperplane_pairs": HYPERPLANE_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,

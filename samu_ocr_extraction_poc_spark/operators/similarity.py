@@ -340,3 +340,82 @@ def cosine_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def quantize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_range: int = 127,
+) -> DataFrame:
+    """Symmetric per-vector int8-style quantization — the memory path for
+    vector search at corpus scale (4x smaller than float32, integer dot
+    products). scale = max|v| per vector; q_d = floor(v_d/scale*127 + 0.5)
+    (floor(x+0.5) rather than round(): both engines' round() differ on tie
+    rounding, floor is IEEE-exact everywhere). Zero vectors quantize to
+    zeros with scale 0.
+
+    Returns (vec_id, qvec array<int>, scale double).
+    """
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        v,
+        lambda x: F.when(scale > 0,
+            F.floor(x.cast("double") / scale * F.lit(float(bits_range)) + F.lit(0.5))
+        ).otherwise(F.lit(0)).cast("int"),
+    )
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), q.alias("qvec"), scale.cast("double").alias("scale")
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over QUANTIZED vectors: integer dot product
+    of the int8 codes, normalized by the integer L2 norms — exact integer
+    arithmetic until one final rounded division, so the DuckDB oracle
+    replays it bit-for-bit (unlike float-sum scores). The quality loss vs
+    exact cosine is the quantization error only.
+
+    Returns (query_id, rank, neighbor_id, qcos round(4)).
+    """
+    qc = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cq")
+    )
+    qq = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qq")
+    )
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = qc.crossJoin(F.broadcast(qq)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.try_divide(
+                _idot(F.col("qq"), F.col("cq")).cast("double"),
+                F.sqrt(_idot(F.col("qq"), F.col("qq")).cast("double"))
+                * F.sqrt(_idot(F.col("cq"), F.col("cq")).cast("double")),
+            ),
+            4,
+        ).alias("qcos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "qcos")
+    )

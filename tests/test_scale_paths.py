@@ -350,6 +350,27 @@ def test_hyperplane_lsh_recall_vs_brute(spark):
     assert found == again
 
 
+def test_quantized_topk_tracks_exact_cosine(spark):
+    """Int8 quantization must preserve neighborhood structure: the
+    quantized top-1 neighbor matches the exact-cosine top-1 for (nearly)
+    every query, and quantized scores sit within quantization error of the
+    exact ones."""
+    from samu_ocr_extraction_poc_spark.operators.similarity import brute_topk, quantized_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where("vec_id < 20")
+    corpus = emb.where("vec_id >= 20")
+    exact = {(r["query_id"], r["rank"]): r for r in brute_topk(corpus, queries, k=1).collect()}
+    quant = {(r["query_id"], r["rank"]): r for r in quantized_topk(corpus, queries, k=1).collect()}
+    assert set(exact) == set(quant)
+    agree = sum(
+        1 for key in exact if exact[key]["neighbor_id"] == quant[key]["neighbor_id"]
+    )
+    assert agree >= 0.9 * len(exact), f"top-1 agreement {agree}/{len(exact)}"
+    for key in exact:
+        assert abs(exact[key]["cos"] - quant[key]["qcos"]) < 0.02
+
+
 def test_kmeans_assign_converges_and_is_deterministic(spark):
     from samu_ocr_extraction_poc_spark.operators.similarity import kmeans_assign
 
