@@ -763,6 +763,35 @@ FROM c GROUP BY shard, bin
 """
 
 
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (operators/corpus.py:chunk_documents):
+    64-token windows, 16-token overlap."""
+    from .operators import corpus as CP
+
+    return CP.chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16)
+
+
+CHUNK_SQL = """
+WITH t AS (SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split(trim(text), ' ')) END AS n,
+                  string_split(trim(text), ' ') AS w
+           FROM documents),
+c AS (SELECT doc_id, n, w,
+             1 + CAST(ceil(greatest(n - 64, 0) / 48.0) AS INT) AS n_chunks
+      FROM t),
+x AS (SELECT doc_id, n, w, unnest(range(1, n_chunks + 1)) AS ch FROM c WHERE n > 0
+      UNION ALL
+      SELECT doc_id, n, w, 1 AS ch FROM c WHERE n = 0)
+SELECT doc_id, CAST(ch - 1 AS INT) AS chunk_id,
+       CAST(CASE WHEN n = 0 THEN 0
+                 ELSE len(w[(ch-1)*48+1:(ch-1)*48+64]) END AS INT) AS n_tokens,
+       CASE WHEN n = 0 THEN ''
+            ELSE array_to_string(w[(ch-1)*48+1:(ch-1)*48+64], ' ') END AS chunk_text
+FROM x
+"""
+
+
 def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-bucket stratified sampling (operators/corpus.py)."""
     from .operators import corpus as CP
@@ -1420,6 +1449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": contamination_check_q,
     "repetition_stats": repetition_stats_q,
     "pack_token_windows": pack_token_windows_q,
+    "chunk_documents": chunk_documents_q,
     "stratified_sample": stratified_sample_q,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
@@ -1468,6 +1498,7 @@ ORACLE_SQL: dict[str, str] = {
     "contamination_check": CONTAMINATION_SQL,
     "repetition_stats": REPETITION_SQL,
     "pack_token_windows": PACK_SQL,
+    "chunk_documents": CHUNK_SQL,
     "stratified_sample": STRATIFIED_SQL,
     "embed_topk_cosine": EMBED_TOPK_SQL,
     "embed_ivf_topk": EMBED_IVF_SQL,

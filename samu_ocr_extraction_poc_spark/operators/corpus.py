@@ -135,3 +135,49 @@ def stratified_sample(
         F.count("*").alias("n_total"),
         F.sum(kept).cast("bigint").alias("n_kept"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token chunking — the sequence-prep op for training and
+    retrieval corpora: windows of ``chunk_tokens`` whitespace tokens with
+    ``overlap`` tokens of context carried between consecutive chunks
+    (stride = chunk_tokens - overlap). The final chunk keeps the tail even
+    when shorter; a document shorter than one chunk yields exactly one.
+
+    Pure array HOFs (sequence/transform/slice + posexplode): the chunking
+    is narrow on the corpus scan — no shuffle until whatever consumes the
+    chunks. Returns (doc_id, chunk_id, n_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / float(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda c: F.slice(toks, (c - 1) * stride + 1, chunk_tokens),
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_doc_tokens"),
+        F.posexplode(F.when(n > 0, chunks).otherwise(F.array(F.array().cast("array<string>")))).alias(
+            "pos", "chunk"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("chunk_id"),
+        F.size("chunk").cast("int").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
