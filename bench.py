@@ -36,6 +36,10 @@ HEADLINE = [
     "repetition_stats",
     "pack_token_windows",
     "stratified_sample",
+    "chunk_documents",
+    "shared_window_pairs",
+    "contamination_check",
+    "embed_quantized_topk",
     "embed_topk_cosine",
     "embed_ivf_topk",
     "events_hourly",

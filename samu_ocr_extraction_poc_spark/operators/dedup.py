@@ -345,9 +345,11 @@ def cross_corpus_contamination(
     probes it. Returns (doc_id, n_windows_hit, n_train_docs) for
     contaminated test docs only.
     """
+    # the train index feeds both the df-count and the probe join — persist
+    # it once (at scale: write the window index table)
     tr = doc_shingles(train, text_col, id_col, k).select(
         F.col("doc_id").alias("train_id"), "shingle"
-    )
+    ).persist()
     te = doc_shingles(test, text_col, id_col, k)
     dfc = tr.groupBy("shingle").agg(F.count("*").alias("df"))
     tr_cut = tr.join(dfc.where(F.col("df") <= max_df), "shingle")
