@@ -472,16 +472,42 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
 
 
-LSH_SQL = _SHINGLE_SQL_BASE + """
+_LSH_CTES = _SHINGLE_SQL_BASE + """
 , sig AS (SELECT doc_id, """ + _MINHASH_TERMS + """
 FROM sh GROUP BY doc_id),
 bands AS (""" + "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band_id, CAST(h{2*b} AS VARCHAR) || '_' || CAST(h{2*b+1} AS VARCHAR) AS band_key FROM sig"
     for b in range(4)
-) + """)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+) + """),
+lsh_pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band_id, band_key)
-WHERE a.doc_id < b.doc_id
+WHERE a.doc_id < b.doc_id)
+"""
+
+LSH_SQL = _LSH_CTES + "SELECT doc_a, doc_b FROM lsh_pairs"
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: minhash-LSH pairs -> distributed connected
+    components (operators/dedup.py:connected_components, min-label
+    propagation) -> cluster sizes. The end-to-end dedup story: candidates,
+    clusters, one canonical (min doc_id = the component label) per
+    cluster. The oracle computes the same min over the transitive closure
+    with a recursive CTE."""
+    sig = DD.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8, k=3)
+    pairs = DD.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    cc = DD.connected_components(pairs)
+    return cc.groupBy("component").agg(F.count("*").alias("n_members"))
+
+
+CC_SQL = _LSH_CTES.replace("WITH norm AS", "WITH RECURSIVE norm AS", 1) + """,
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+          UNION SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (SELECT id, id FROM verts
+                 UNION SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT component, count(*) AS n_members FROM comp GROUP BY component
 """
 
 
@@ -1438,6 +1464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keepfirst": dedup_keepfirst,
     "minhash_signatures": minhash_signatures_q,
     "minhash_lsh_pairs": minhash_lsh_pairs_q,
+    "dedup_components": dedup_components,
     "simhash": simhash_q,
     "simhash_near_pairs": simhash_near_pairs,
     "props_parse": props_parse,
@@ -1487,6 +1514,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_keepfirst": DEDUP_KEEPFIRST_SQL,
     "minhash_signatures": MINHASH_SQL,
     "minhash_lsh_pairs": LSH_SQL,
+    "dedup_components": CC_SQL,
     "simhash": SIMHASH_SQL,
     "simhash_near_pairs": SIMHASH_PAIRS_SQL,
     "props_parse": PROPS_SQL,

@@ -361,3 +361,64 @@ def cross_corpus_contamination(
             F.countDistinct("train_id").alias("n_train_docs"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over a near-dup pair graph — the
+    step that turns pairwise candidates into dedup CLUSTERS (each cluster
+    keeps one canonical document). Iterative min-label propagation: every
+    vertex repeatedly adopts the smallest label among itself and its
+    neighbors; converges in O(graph diameter) rounds, so the final label of
+    every vertex is the minimum doc id of its component (deterministic,
+    engine-replayable — the DuckDB oracle computes the same min over the
+    transitive closure).
+
+    Per-round cache discipline mirrors kmeans_assign: persist + materialize
+    the new label frame, then release the previous one — O(1) cached frames
+    however many rounds run. Early-exits when a round changes nothing.
+
+    Returns (doc_id, component).
+    """
+    directed = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        directed.union(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    edges.count()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    # labels only ever DECREASE under min-propagation, so sum(label) is a
+    # strictly-decreasing convergence measure: one aggregate job per round
+    # both materializes the persisted frame and detects the fixpoint (a
+    # separate changed-rows join would double the per-round job count).
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = edges.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+    edges.unpersist()
+    return out

@@ -350,6 +350,26 @@ def test_hyperplane_lsh_recall_vs_brute(spark):
     assert found == again
 
 
+def test_connected_components_known_graph(spark):
+    """Min-label propagation on a known graph: two chains and an isolated
+    pair; labels converge to each component's min id, caches are released
+    (only the edges/labels of the RETURNED frame may remain)."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), pair 10-11, chain 20-22-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 22), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    cc = connected_components(pairs)
+    got = {r["doc_id"]: r["component"] for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    after = sc._jsc.getPersistentRDDs().size()
+    assert after - before <= 1  # only the final labels frame may stay cached
+
+
 def test_quantized_topk_tracks_exact_cosine(spark):
     """Int8 quantization must preserve neighborhood structure: the
     quantized top-1 neighbor matches the exact-cosine top-1 for (nearly)
