@@ -841,6 +841,35 @@ FROM documents GROUP BY lang
 # ---------------------------------------------------------------------------
 
 
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical BM25 top-10 (operators/search.py) for a fixed keyword query
+    over the documents corpus — the textual counterpart of embed_topk."""
+    from .operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["customer", "merge", "slow"], k=10
+    )
+
+
+BM25_SQL = """
+WITH base AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term, CAST(len(toks) AS BIGINT) AS dl FROM base),
+doclen AS (SELECT DISTINCT doc_id, dl FROM tok),
+cs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM doclen),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, first(dl) AS dl
+       FROM tok WHERE term IN ('customer', 'merge', 'slow') GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY term),
+st AS (SELECT doc_id,
+              round(ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0), 6)
+              * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS term_score
+       FROM tf JOIN dft USING (term), cs),
+sc AS (SELECT doc_id, round(sum(term_score), 4) AS score FROM st GROUP BY doc_id)
+SELECT CAST(rn AS INT) AS rank, doc_id, score
+FROM (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
+WHERE rn <= 10
+"""
+
+
 def embed_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -1478,6 +1507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_token_windows": pack_token_windows_q,
     "chunk_documents": chunk_documents_q,
     "stratified_sample": stratified_sample_q,
+    "bm25_search": bm25_search,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
     "embed_quantized_topk": embed_quantized_topk,
@@ -1528,6 +1558,7 @@ ORACLE_SQL: dict[str, str] = {
     "pack_token_windows": PACK_SQL,
     "chunk_documents": CHUNK_SQL,
     "stratified_sample": STRATIFIED_SQL,
+    "bm25_search": BM25_SQL,
     "embed_topk_cosine": EMBED_TOPK_SQL,
     "embed_ivf_topk": EMBED_IVF_SQL,
     "embed_quantized_topk": EMBED_QUANT_SQL,
