@@ -40,6 +40,7 @@ HEADLINE = [
     "shared_window_pairs",
     "contamination_check",
     "embed_quantized_topk",
+    "bm25_search",
     "embed_topk_cosine",
     "embed_ivf_topk",
     "events_hourly",
