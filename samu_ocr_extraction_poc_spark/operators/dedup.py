@@ -402,8 +402,16 @@ def connected_components(
     # strictly-decreasing convergence measure: one aggregate job per round
     # both materializes the persisted frame and detects the fixpoint (a
     # separate changed-rows join would double the per-round job count).
+    #
+    # Persisting caches DATA but the LOGICAL plan still nests one
+    # join+union per round — past ~25 rounds (long-chain graphs) Catalyst's
+    # tree blows the JVM stack. Every checkpoint_every rounds the frame is
+    # localCheckpoint(eager)-ed instead, which truncates the lineage; the
+    # superseded checkpoint blocks are released by Spark's ContextCleaner
+    # once dereferenced, so live cached frames stay O(1).
+    checkpoint_every = 8
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh = edges.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "label")
@@ -411,8 +419,11 @@ def connected_components(
             labels.unionByName(neigh)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist()
         )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels

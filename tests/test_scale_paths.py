@@ -491,3 +491,79 @@ def test_auxiliary_lookup_tables(spark):
     ont = ontology_dict_table(spark)
     assert ont.count() >= 10
     assert ont.where("system = 'ICD10' AND code = 'I10'").count() == 1
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    """Randomized (seeded) equivalence: chunking in Spark equals a direct
+    Python reference for docs of every length class around the chunk/stride
+    boundaries (0, 1, overlap, chunk, chunk+1, multiples of stride, ...)."""
+    import random
+
+    from samu_ocr_extraction_poc_spark.operators.corpus import chunk_documents
+
+    rng = random.Random(7)
+    lengths = [0, 1, 15, 16, 47, 48, 49, 63, 64, 65, 96, 112, 113, 200] + [
+        rng.randrange(0, 300) for _ in range(16)
+    ]
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    }
+    expected = {}
+    for i, n in enumerate(lengths):
+        words = [f"w{i}x{j}" for j in range(n)]
+        if n == 0:
+            expected[(i, 0)] = (0, "")
+            continue
+        n_chunks = 1 + -(-max(n - 64, 0) // 48)  # 1 + ceil/stride
+        for c in range(n_chunks):
+            w = words[c * 48 : c * 48 + 64]
+            expected[(i, c)] = (len(w), " ".join(w))
+    assert got == expected
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized (seeded) equivalence vs a plain union-find reference on a
+    200-edge graph with several components and long chains."""
+    import random
+
+    from samu_ocr_extraction_poc_spark.operators.dedup import connected_components
+
+    rng = random.Random(13)
+    edges = set()
+    # long chain (diameter ~30), a clique, random noise edges
+    for i in range(30):
+        edges.add((1000 + i, 1000 + i + 1))
+    for a in range(2000, 2008):
+        for b in range(a + 1, 2008):
+            edges.add((a, b))
+    while len(edges) < 200:
+        a, b = rng.randrange(0, 400), rng.randrange(0, 400)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs, max_iter=50).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected_groups: dict[int, set] = {}
+    for v in parent:
+        expected_groups.setdefault(find(v), set()).add(v)
+    expected = {v: min(grp) for root, grp in expected_groups.items() for v in grp}
+    assert got == expected
