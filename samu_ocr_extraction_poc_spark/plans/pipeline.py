@@ -391,8 +391,12 @@ def run_extraction_grouped(
     small in absolute terms) — reach for this path only when single
     documents are large enough to break Arrow batches or executor memory
     (book-scale, ~10^5+ spans), or rely on split_by_pages chunking instead.
+    Uses ``applyInArrow`` (not applyInPandas) for the same reason the
+    single-row path uses mapInArrow: the wide nested result row is built
+    C++-side by pyarrow, skipping pandas object-dtype inference in BOTH
+    directions.
     """
-    import pandas as pd
+    import pyarrow as pa
 
     ocr = ocr_lookup or {}
     spark = docs.sparkSession
@@ -401,10 +405,12 @@ def run_extraction_grouped(
     thr = thresholds
 
     from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     out_schema = T.StructType(
         list(RESULT_SCHEMA.fields) + [T.StructField("part_id", T.IntegerType())]
     )
+    arrow_schema = to_arrow_schema(out_schema)
 
     exploded = docs.select(
         "doc_id",
@@ -419,17 +425,20 @@ def run_extraction_grouped(
         F.col("span.offset").alias("offset"),
     )
 
-    def _extract_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        doc_id = pdf["doc_id"].iloc[0]
-        part_id = int(pdf["part_id"].iloc[0])
-        spans = pdf[["kind", "text", "media_ref", "offset"]].to_dict("records")
+    def _extract_group(table: pa.Table) -> pa.Table:
+        rows = table.to_pylist()
+        doc_id = rows[0]["doc_id"]
+        part_id = int(rows[0]["part_id"])
+        spans = [
+            {k: r[k] for k in ("kind", "text", "media_ref", "offset")} for r in rows
+        ]
         t0 = time.perf_counter_ns()
         row = extract_document(doc_id, spans, bc_ocr.value, thr)
         row["proc_us"] = (time.perf_counter_ns() - t0) // 1000
         row["part_id"] = part_id
-        return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+        return pa.Table.from_pylist([row], schema=arrow_schema)
 
-    return exploded.groupBy("doc_id").applyInPandas(_extract_group, out_schema)
+    return exploded.groupBy("doc_id").applyInArrow(_extract_group, out_schema)
 
 
 def pages_table(results: DataFrame) -> DataFrame:
