@@ -1455,8 +1455,13 @@ def xy_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 XY_CUT_SQL = """
-WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS wa FROM documents),
-t AS (SELECT doc_id, wa[1:24] AS w, least(len(wa), 24) AS n FROM base),
+WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS wa,
+                     -- SQL string_split('') is [''] (len 1), never [] —
+                     -- compute n the way Python's ''.split() does (0)
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split(trim(text), ' ')) END AS nw
+              FROM documents),
+t AS (SELECT doc_id, wa[1:24] AS w, least(nw, 24) AS n FROM base),
 c AS (SELECT doc_id, w, n, n // 2 AS m,
              CASE WHEN n = 0 THEN 0 WHEN n = 1 THEN 1 ELSE 2 * (n // 2) END AS n_lines
       FROM t)

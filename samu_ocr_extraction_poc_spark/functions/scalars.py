@@ -55,6 +55,11 @@ def to_fixed_2(x: float) -> str:
         return "NaN"
     if math.isinf(x):
         return "-Infinity" if x < 0 else "Infinity"
+    if abs(x) >= 1e21:
+        # ECMA-262 step: if |x| >= 10^21, toFixed returns ToString(x) —
+        # JS exponential form, which Python's repr matches ('1e+21',
+        # '1.5e+21') for doubles in this range
+        return repr(x)
     sign = "-" if x < 0 else ""  # strictly < 0: (-0.0).toFixed(2) is "0.00"
     with decimal.localcontext() as ctx:
         ctx.prec = 1100  # a double's exact decimal expansion always fits

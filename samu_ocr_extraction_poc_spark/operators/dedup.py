@@ -312,7 +312,12 @@ def shared_window_pairs(
     Returns (doc_a, doc_b, n_shared) with n_shared = number of distinct
     shared windows, >= min_shared.
     """
+    # persist AND materialize eagerly — the frame feeds the df-count and
+    # both self-join sides; a lazy persist lets consumers race to fill the
+    # cache and compute the shingle explode repeatedly (the
+    # lsh_candidate_pairs convention)
     sh = doc_shingles(df, text_col, id_col, k).persist()
+    sh.count()
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     filtered = sh.join(dfc.where(F.col("df") <= max_df), "shingle")
     a = filtered.alias("a")
@@ -346,10 +351,12 @@ def cross_corpus_contamination(
     contaminated test docs only.
     """
     # the train index feeds both the df-count and the probe join — persist
-    # it once (at scale: write the window index table)
+    # AND materialize eagerly (lazy persists race; at scale: write the
+    # window index table)
     tr = doc_shingles(train, text_col, id_col, k).select(
         F.col("doc_id").alias("train_id"), "shingle"
     ).persist()
+    tr.count()
     te = doc_shingles(test, text_col, id_col, k)
     dfc = tr.groupBy("shingle").agg(F.count("*").alias("df"))
     tr_cut = tr.join(dfc.where(F.col("df") <= max_df), "shingle")
@@ -411,6 +418,7 @@ def connected_components(
     # once dereferenced, so live cached frames stay O(1).
     checkpoint_every = 8
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for it in range(max_iter):
         neigh = edges.join(
             labels.withColumnRenamed("id", "dst"), "dst"
@@ -428,8 +436,17 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # falling off the loop would silently return WRONG components (a
+        # chain longer than max_iter splits into bogus pieces) — fail loud
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
     edges.unpersist()
     return out

@@ -200,11 +200,19 @@ def kmeans_assign(
             # materialized; eagerly count() then release the previous cache
             # so N iterations hold O(1) cached frames, not O(N)
             cent.count()
-        prev_cent.unpersist()
-    # materialize the final assignment before releasing dims — its lineage
-    # still reads the exploded frame
-    assign = assign.select(F.col("vid").alias(id_col), "cluster").persist()
-    assign.count()
+            prev_cent.unpersist()
+        # final iteration: prev_cent is still read by the LAZY assign —
+        # unpersisting it here would force the whole Lloyd chain to
+        # recompute at materialization below; released after the checkpoint
+    # localCheckpoint (eager) materializes the final assignment AND cuts
+    # its lineage, so releasing dims/cent below cannot trigger a recompute;
+    # unlike persist() it leaves the CALLER no unpersist obligation — the
+    # checkpoint blocks are reclaimed by the ContextCleaner when the
+    # returned frame is dereferenced.
+    assign = assign.select(F.col("vid").alias(id_col), "cluster").localCheckpoint(
+        eager=True
+    )
+    cent.unpersist()
     dims.unpersist()
     return assign
 

@@ -105,11 +105,16 @@ def stream_exact_dedup(
     ts_col: str = "ingest_ts",
 ):
     """Streaming exact dedup for a continuously-arriving corpus: md5 the
-    normalized text, `dropDuplicates` on the hash under a watermark so the
-    dedup state is bounded (keys older than the watermark are evicted —
-    at 10^12 docs unbounded dedup state is the failure mode, the watermark
-    is what makes this run forever). First occurrence wins, matching the
-    batch keep-first semantics (operators/dedup.py).
+    normalized text, then ``dropDuplicatesWithinWatermark`` on the hash so
+    the dedup state is actually BOUNDED — plain ``dropDuplicates(subset)``
+    without the event-time column in the subset keeps every key forever
+    (Spark only evicts dropDuplicates state when event time is part of the
+    key, which is exactly why dropDuplicatesWithinWatermark exists). At
+    10^12 docs unbounded dedup state is the failure mode. First occurrence
+    within the watermark horizon wins, matching the batch keep-first
+    semantics (operators/dedup.py); a duplicate arriving more than
+    ``watermark`` after its original is re-admitted — the deliberate
+    state-size/recall trade.
 
     Returns the streaming DataFrame of surviving (deduped) documents;
     start it with writeStream (tests use append memory sink + availableNow).
@@ -124,7 +129,7 @@ def stream_exact_dedup(
     return (
         docs.withColumn("text_hash", F.md5(normalized(F.col("text"))))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["text_hash"])
+        .dropDuplicatesWithinWatermark(["text_hash"])
     )
 
 

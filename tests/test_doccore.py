@@ -169,6 +169,13 @@ def test_to_fixed_2_js_tie_rounding():
     assert to_fixed_2(-0.004) == "-0.00"  # ...but kept when it rounds to 0
     assert to_fixed_2(float("nan")) == "NaN"
     assert to_fixed_2(float("inf")) == "Infinity"
+    # ECMA: |x| >= 1e21 returns ToString(x), not a fixed 23-digit string
+    assert to_fixed_2(1e21) == "1e+21"
+    assert to_fixed_2(1.5e21) == "1.5e+21"
+    assert to_fixed_2(-1e21) == "-1e+21"
+    # just below the 1e21 cutoff: JS prints the EXACT binary value of the
+    # double (verified in node), which Decimal(x) reproduces
+    assert to_fixed_2(999999999999999900000.0) == "999999999999999868928.00"
 
 
 def test_header_merge_priority_header_wins():
