@@ -567,8 +567,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep every per-bucket self-join ~n^2/65536 (the round-1 8-bit prefix
     block was O(n^2/256) — a 10^9-doc scale-killer, VERDICT.md item 5),
     and the 4 cyclic rotations recover recall. Exact hamming <= 12 re-ranks.
-    Integer-only, so the oracle replays it exactly."""
-    sig = DD.simhash(_t(spark, sf_dir, "documents")).persist()  # both join sides
+    Integer-only, so the oracle replays it exactly. The operator owns the
+    cache discipline (persists its exploded probe frame, eager result,
+    releases before returning) — no persist here (round-2 leaked one)."""
+    sig = DD.simhash(_t(spark, sf_dir, "documents"))
     return DD.simhash_multiprobe_pairs(sig, max_hamming=12)
 
 

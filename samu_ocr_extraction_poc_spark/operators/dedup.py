@@ -144,12 +144,17 @@ def lsh_candidate_pairs(
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    return (
+    out = (
         a.join(b, ["band_id", "band_key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # eager candidate-pair frame; releases the signature cache (persist
+        # accretion across bench passes — ADVICE r2)
+        .localCheckpoint(eager=True)
     )
+    signatures.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -192,10 +197,20 @@ def simhash_multiprobe_pairs(
     item 5). Here each doc emits one 16-bit key per cyclic rotation of the
     hash (top key_bits of rot_r(simhash)); a pair is a candidate iff it
     collides on ANY rotation. 2^16 buckets shrink every per-bucket join by
-    ~256x while the 4 probes recover the recall a single wider key would
-    lose (a pair agreeing on any 16 cyclically-contiguous bits is caught).
-    Exact hamming(<= max_hamming) re-ranks candidates; integer-only
-    arithmetic end-to-end so the DuckDB oracle replays it bit-for-bit.
+    ~256x while the 4 probes recover recall a single wider key would lose:
+    a pair agreeing on any of the four stride-8 16-bit cyclic windows
+    (offsets 0/8/16/24) is caught, so hamming<=1 pairs are ALWAYS found
+    (one flipped bit can corrupt at most two of the four windows); pairs up
+    to max_hamming are found with high probability but not guaranteed (12
+    adversarially-placed flips can touch all four windows). Exact
+    hamming(<= max_hamming) re-ranks candidates; integer-only arithmetic
+    end-to-end so the DuckDB oracle (which mirrors the same blocking, hence
+    the same recall) replays it bit-for-bit.
+
+    The exploded probe frame feeds both self-join sides: it is persisted +
+    materialized here and released after the pair result is eagerly
+    localCheckpoint-ed, so repeated invocations (bench loops) do not
+    accrete cached frames.
 
     Returns (doc_a, doc_b, hamming).
     """
@@ -217,7 +232,8 @@ def simhash_multiprobe_pairs(
     )
     base = sig.select("doc_id", "simhash", F.explode(probes).alias("p")).select(
         "doc_id", "simhash", F.col("p.probe").alias("probe"), F.col("p.bkey").alias("bkey")
-    )
+    ).persist()
+    base.count()
     a = base.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "probe", "bkey"
     )
@@ -225,13 +241,16 @@ def simhash_multiprobe_pairs(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "probe", "bkey"
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    out = (
         a.join(b, ["probe", "bkey"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -280,7 +299,7 @@ def ngram_jaccard_pairs(
     half_cut = common.join(sa, "doc_a").where(
         F.col("n_common") / F.col("na") >= threshold - 1e-4
     )
-    return (
+    out = (
         half_cut
         .join(sb, "doc_b")
         .select(
@@ -291,7 +310,14 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        # eager: the caller gets a materialized pair frame (at scale: the
+        # written pair table) and the inverted-index caches release NOW —
+        # a lazy return would pin them for the caller's lifetime
+        .localCheckpoint(eager=True)
     )
+    filtered.unpersist()
+    pairs_base.unpersist()
+    return out
 
 
 def shared_window_pairs(
@@ -313,22 +339,30 @@ def shared_window_pairs(
     shared windows, >= min_shared.
     """
     # persist AND materialize eagerly — the frame feeds the df-count and
-    # both self-join sides; a lazy persist lets consumers race to fill the
+    # the df-cut join; a lazy persist lets consumers race to fill the
     # cache and compute the shingle explode repeatedly (the
     # lsh_candidate_pairs convention)
     sh = doc_shingles(df, text_col, id_col, k).persist()
     sh.count()
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    filtered = sh.join(dfc.where(F.col("df") <= max_df), "shingle")
+    # `filtered` feeds BOTH self-join sides: persist + materialize so the
+    # sh⨝dfc cut join runs once, not once per side (round-2 recomputed it)
+    filtered = sh.join(dfc.where(F.col("df") <= max_df), "shingle").persist()
+    filtered.count()
     a = filtered.alias("a")
     b = filtered.alias("b")
-    return (
+    out = (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+        # eager pair result so the index caches release before returning
+        .localCheckpoint(eager=True)
     )
+    filtered.unpersist()
+    sh.unpersist()
+    return out
 
 
 def cross_corpus_contamination(
@@ -360,14 +394,18 @@ def cross_corpus_contamination(
     te = doc_shingles(test, text_col, id_col, k)
     dfc = tr.groupBy("shingle").agg(F.count("*").alias("df"))
     tr_cut = tr.join(dfc.where(F.col("df") <= max_df), "shingle")
-    return (
+    out = (
         te.join(tr_cut, "shingle")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("shingle").alias("n_windows_hit"),
             F.countDistinct("train_id").alias("n_train_docs"),
         )
+        # eager: contaminated-doc rows are few; release the train index now
+        .localCheckpoint(eager=True)
     )
+    tr.unpersist()
+    return out
 
 
 def connected_components(
@@ -409,6 +447,11 @@ def connected_components(
     # strictly-decreasing convergence measure: one aggregate job per round
     # both materializes the persisted frame and detects the fixpoint (a
     # separate changed-rows join would double the per-round job count).
+    # The sum runs in DECIMAL(38,0): with 64-bit ids at 10^9+ vertices a
+    # BIGINT sum can overflow (ANSI-mode throw, or a silent wrap where a
+    # collision could falsely signal convergence — ADVICE r2); 38 digits
+    # hold sum(2^63 * 10^12) with room to spare.
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     #
     # Persisting caches DATA but the LOGICAL plan still nests one
     # join+union per round — past ~25 rounds (long-chain graphs) Catalyst's
@@ -417,7 +460,7 @@ def connected_components(
     # superseded checkpoint blocks are released by Spark's ContextCleaner
     # once dereferenced, so live cached frames stay O(1).
     checkpoint_every = 8
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = labels.agg(label_sum).collect()[0][0]
     converged = False
     for it in range(max_iter):
         neigh = edges.join(
@@ -432,7 +475,7 @@ def connected_components(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = new_labels.agg(label_sum).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:

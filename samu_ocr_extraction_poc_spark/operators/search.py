@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.textfns import normalized, tokens
 
@@ -20,14 +19,13 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def bm25_topk(
+def bm25_scores(
     df: DataFrame,
     query_terms: list[str],
-    k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """BM25 top-k documents for a bag of query terms.
+    """Per-document BM25 score for a bag of query terms (no ranking).
 
     Construction (all relational, one pass over the token explode):
     - doc length dl = token count of the normalized text; avgdl computed as
@@ -40,10 +38,10 @@ def bm25_topk(
       use: ln() is only ~1-ulp accurate on both engines, quantizing makes
       the downstream products engine-identical;
     - score = sum_t idf_t * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
-      rounded to 4 decimals BEFORE ranking so rank tie-breaks (doc_id) are
+      rounded to 4 decimals so downstream rank tie-breaks (doc_id) are
       cross-engine deterministic.
 
-    Returns (rank, doc_id, score).
+    Returns (doc_id, score) for matching documents only.
     """
     terms = [t.lower() for t in query_terms]
     base = df.select(
@@ -88,14 +86,48 @@ def bm25_topk(
             ).alias("term_score"),
         )
     )
-    scores = scored_terms.groupBy("doc_id").agg(
+    return scored_terms.groupBy("doc_id").agg(
         F.round(F.sum("term_score"), 4).alias("score")
     )
-    # the global rank window runs over MATCHING docs only (post-term-filter),
-    # not the corpus — bounded by hit count, not corpus size
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k documents for a bag of query terms.
+
+    Ranking is distributed top-k, never a global window: round-2 used
+    ``row_number() OVER (ORDER BY score)`` with no partition key, which
+    Spark executes by moving EVERY matching document through one partition
+    ("No Partition Defined for Window operation") — a scale-killer for
+    common query terms (billions of hits at 10^12 docs). Here
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject: each
+    partition keeps its local top k, the driver merges k·P rows. The rank
+    is then derived on the k-row result via a broadcast self-join count
+    (rank = 1 + #rows strictly better) — no window operator anywhere in
+    the plan (pinned by tests/test_scale_paths.py).
+
+    Returns (rank, doc_id, score).
+    """
+    scores = bm25_scores(df, query_terms, text_col, id_col)
+    # eager k-row checkpoint: the rank join reads `top` on both sides; a
+    # lazy frame would recompute the whole scoring pipeline twice
+    top = (
+        scores.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
+    better = (F.col("b.score") > F.col("a.score")) | (
+        (F.col("b.score") == F.col("a.score")) & (F.col("b.doc_id") < F.col("a.doc_id"))
+    )
     return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(F.col("rank").cast("int").alias("rank"), "doc_id", "score")
+        top.alias("a")
+        .join(F.broadcast(top.alias("b")), better, "left")
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.score").alias("score"))
+        .agg((F.count(F.col("b.doc_id")) + 1).cast("int").alias("rank"))
+        .select("rank", "doc_id", "score")
     )
