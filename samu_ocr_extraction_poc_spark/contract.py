@@ -838,6 +838,50 @@ FROM documents GROUP BY lang
 """
 
 
+def sample_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-returning stratified sampling (operators/corpus.py:
+    sample_documents): the kept documents themselves — what a training
+    pipeline consumes; stratified_sample is the per-stratum audit of the
+    same filter (VERDICT r2 item 4)."""
+    from .operators import corpus as CP
+
+    return CP.sample_documents(
+        _t(spark, sf_dir, "documents"), rates={"en": 500, "de": 250}, default_rate=100
+    )
+
+
+SAMPLE_DOCS_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+      < (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END)
+"""
+
+
+def pack_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level packing assignments (operators/corpus.py:
+    pack_assignments): the (doc_id -> shard, bin) rows a training pipeline
+    consumes; pack_token_windows is their per-bin audit aggregate."""
+    from .operators import corpus as CP
+
+    return CP.pack_assignments(_t(spark, sf_dir, "documents"), budget=256, n_shards=32)
+
+
+PACK_ASSIGN_SQL = """
+WITH b AS (SELECT doc_id,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 32 AS shard,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split(trim(text), ' ')) END AS n_tok
+           FROM documents),
+c AS (SELECT shard, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      FROM b)
+SELECT doc_id, shard, CAST(floor(start / 256.0) AS BIGINT) AS bin,
+       CAST(n_tok AS BIGINT) AS n_tok
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -1512,8 +1556,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": contamination_check_q,
     "repetition_stats": repetition_stats_q,
     "pack_token_windows": pack_token_windows_q,
+    "pack_assignments": pack_assignments_q,
     "chunk_documents": chunk_documents_q,
     "stratified_sample": stratified_sample_q,
+    "sample_documents": sample_documents_q,
     "bm25_search": bm25_search,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
@@ -1563,8 +1609,10 @@ ORACLE_SQL: dict[str, str] = {
     "contamination_check": CONTAMINATION_SQL,
     "repetition_stats": REPETITION_SQL,
     "pack_token_windows": PACK_SQL,
+    "pack_assignments": PACK_ASSIGN_SQL,
     "chunk_documents": CHUNK_SQL,
     "stratified_sample": STRATIFIED_SQL,
+    "sample_documents": SAMPLE_DOCS_SQL,
     "bm25_search": BM25_SQL,
     "embed_topk_cosine": EMBED_TOPK_SQL,
     "embed_ivf_topk": EMBED_IVF_SQL,

@@ -30,7 +30,8 @@ DOC_QUERIES = [
     "dedup_keepfirst", "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "simhash_near_pairs", "ngram_jaccard_top_pairs", "token_stats",
     "lang_id_heuristic", "bpe_token_counts",
-    "repetition_stats", "pack_token_windows", "stratified_sample",
+    "repetition_stats", "pack_token_windows", "pack_assignments",
+    "stratified_sample", "sample_documents",
     "shared_window_pairs", "contamination_check", "chunk_documents",
 ]
 
