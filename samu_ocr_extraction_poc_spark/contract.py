@@ -500,6 +500,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.groupBy("component").agg(F.count("*").alias("n_members"))
 
 
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via alternating large-star/small-star contraction
+    (operators/dedup.py:connected_components_star) — O(log n) rounds vs
+    min-label's O(diameter); both variants share the recursive-CTE oracle,
+    so the driver gate cross-checks them against each other too."""
+    sig = DD.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8, k=3)
+    pairs = DD.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    cc = DD.connected_components_star(pairs)
+    return cc.groupBy("component").agg(F.count("*").alias("n_members"))
+
+
 CC_SQL = _LSH_CTES.replace("WITH norm AS", "WITH RECURSIVE norm AS", 1) + """,
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
           UNION SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs),
@@ -1545,6 +1556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": minhash_signatures_q,
     "minhash_lsh_pairs": minhash_lsh_pairs_q,
     "dedup_components": dedup_components,
+    "dedup_components_star": dedup_components_star,
     "simhash": simhash_q,
     "simhash_near_pairs": simhash_near_pairs,
     "props_parse": props_parse,
@@ -1598,6 +1610,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_signatures": MINHASH_SQL,
     "minhash_lsh_pairs": LSH_SQL,
     "dedup_components": CC_SQL,
+    "dedup_components_star": CC_SQL,
     "simhash": SIMHASH_SQL,
     "simhash_near_pairs": SIMHASH_PAIRS_SQL,
     "props_parse": PROPS_SQL,

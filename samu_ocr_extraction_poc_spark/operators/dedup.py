@@ -408,11 +408,30 @@ def cross_corpus_contamination(
     return out
 
 
+def _release_frame(df: DataFrame) -> None:
+    """Release whatever backs an intermediate frame: the CacheManager entry
+    for persist()-ed frames (plain unpersist), AND the cached internal RDD
+    behind a localCheckpoint-ed frame — Dataset.unpersist() does NOT cover
+    the latter (checkpoint RDDs bypass the CacheManager), so without this
+    an iterative loop leaks one cached RDD per checkpoint until the
+    ContextCleaner happens to reclaim it (observed: never, while the py4j
+    bridge pins the plan objects). The frame must not be used afterwards.
+    """
+    df.unpersist()
+    try:
+        lp = df._jdf.queryExecution().logical()
+        if lp.getClass().getName().endswith("LogicalRDD"):
+            lp.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort; worst case the old behavior (cleaner-reclaimed)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distributed connected components over a near-dup pair graph — the
     step that turns pairwise candidates into dedup CLUSTERS (each cluster
@@ -476,10 +495,12 @@ def connected_components(
         else:
             new_labels = new_labels.persist()
         new_sum = new_labels.agg(label_sum).collect()[0][0]
-        labels.unpersist()
+        _release_frame(labels)
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
+            if stats is not None:
+                stats["rounds"] = it + 1
             break
         prev_sum = new_sum
     if not converged:
@@ -492,4 +513,141 @@ def connected_components(
         )
     out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
     edges.unpersist()
+    return out
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log n) rounds regardless of graph diameter, vs min-label
+    propagation's O(diameter) (:func:`connected_components`). The variant
+    to reach for on chain-heavy graphs; both agree on every graph (pinned
+    by tests/test_scale_paths.py cross-checks and the dedup_components_star
+    driver oracle).
+
+    Per round, the edge set is rewritten (edges always kept canonical
+    src > dst, no self-loops):
+
+    - LARGE-STAR at each node u: every neighbor v > u is re-pointed at
+      m = min(neighborhood of u, incl. u);
+    - SMALL-STAR at each node u (over the src>dst orientation): u and all
+      its smaller neighbors are re-pointed at m = min of those neighbors.
+
+    At the fixpoint the edges form star forests: every non-minimum vertex
+    points directly at its component's minimum id, so labels read straight
+    off the edge list (same (doc_id, component) contract and the same
+    min-id labels as connected_components).
+
+    Convergence = the edge SET stopped changing, detected with one
+    aggregate job per round: (count, decimal(38,0) sum of a 48-bit md5
+    prefix of each edge) — an order-invariant multiset fingerprint that
+    also materializes the round's frame; md5-collision false positives are
+    cryptographically negligible. Cache discipline: O(1) live frames, and
+    the lineage is localCheckpoint-truncated EVERY round — a star round
+    references the previous frame ~4 times (the adjacency union reads it
+    twice, small-star joins the large-star output against its own
+    aggregate), so persist-only rounds grow the logical plan ~4^rounds and
+    OOM Catalyst/AQE's plan stringification within a handful of rounds
+    (min-label's 2 references/round tolerates persist between checkpoints;
+    this does not).
+
+    Returns (doc_id, component).
+    """
+    fingerprint = [
+        F.count("*").alias("n"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.col("src"), F.col("dst"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("decimal(38,0)")
+        ).alias("h"),
+    ]
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        adj = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = adj.groupBy("src").agg(F.min("dst").alias("mn")).select(
+            "src", F.least(F.col("mn"), F.col("src")).alias("m")
+        )
+        return (
+            adj.join(m, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is canonical src > dst (large-star output); m(u) = min smaller
+        # neighbor; re-point u and every smaller neighbor except m at m
+        m = e.groupBy("src").agg(F.min("dst").alias("m"))
+        withm = e.join(m, "src")
+        re_pointed = withm.where(F.col("dst") != F.col("m")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        own = m.select("src", F.col("m").alias("dst"))
+        return re_pointed.unionByName(own).distinct()
+
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
+            F.least(F.col(id_a), F.col(id_b)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    # original vertex set: star contraction REWRITES edges, so vertices can
+    # vanish from the edge list mid-stream; the final label join must cover
+    # every input vertex
+    vertices = (
+        edges.select(F.col("src").alias("doc_id"))
+        .unionByName(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+        .persist()
+    )
+    vertices.count()
+    prev = edges.agg(*fingerprint).collect()[0]
+    converged = False
+    for it in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = new_edges.agg(*fingerprint).collect()[0]
+        _release_frame(edges)
+        edges = new_edges
+        if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+            converged = True
+            if stats is not None:
+                stats["rounds"] = it + 1
+            break
+        prev = cur
+    if not converged:
+        _release_frame(edges)
+        vertices.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds; "
+            "raise max_iter (expected O(log n) rounds)"
+        )
+    # star forest: non-minimum vertices appear as src exactly once, pointing
+    # at the component min; minima (and isolated inputs) label themselves
+    child = edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("component"))
+    out = (
+        vertices.join(child, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _release_frame(edges)
+    vertices.unpersist()
     return out

@@ -475,6 +475,54 @@ def test_simhash_multiprobe_recall_and_blocking(spark):
     assert ("b", "c")in got and got[("b", "c")] == 2
 
 
+def test_simhash_multiprobe_candidate_bound_regime(spark):
+    """VERDICT r2 item 8: on the sandbox corpus the ham<=12 threshold is
+    output-bound (BENCH.md), so the blocking win is invisible there. On the
+    non-clustered BACKGROUND of a web corpus — modeled as uniform 32-bit
+    signatures, where at ham<=3 essentially every candidate is wasted work —
+    per-bucket join work must drop ~64x moving from the round-1 8-bit
+    prefix block (2^8 buckets) to 16-bit x 4-rotation multi-probe
+    (4 x 2^16 buckets): sum over buckets of c*(c-1)/2 comparisons."""
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    sig = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("simhash"),
+    )
+
+    def bucket_work(keyed):
+        return (
+            keyed.groupBy("k")
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("w"))
+            .collect()[0]["w"]
+        )
+
+    w8 = bucket_work(sig.select(F.shiftright("simhash", 24).alias("k")))
+    probes = F.array(
+        *[
+            F.shiftright(
+                F.shiftleft(F.col("simhash"), r)
+                .bitwiseAND(F.lit((1 << 32) - 1))
+                .bitwiseOR(F.shiftright(F.col("simhash"), 32 - r)),
+                16,
+            )
+            for r in (0, 8, 16, 24)
+        ]
+    )
+    w16 = bucket_work(
+        sig.select(F.posexplode(probes).alias("probe", "bk")).select(
+            F.concat_ws("_", "probe", "bk").alias("k")
+        )
+    )
+    ratio = w8 / w16
+    # theory: (n^2/2/2^8) / (4 * n^2/2/2^16) = 64; allow sampling noise
+    assert ratio > 40, f"bucket-work reduction only {ratio:.1f}x (w8={w8}, w16={w16})"
+
+
 def test_kmeans_releases_iteration_caches(spark):
     """Iterative-algorithm cache discipline (VERDICT.md round-1 item 9):
     each Lloyd iteration persists a centroid frame; all intermediates must
@@ -597,10 +645,16 @@ def test_chunk_documents_matches_python_reference(spark):
 
 def test_connected_components_matches_union_find(spark):
     """Randomized (seeded) equivalence vs a plain union-find reference on a
-    200-edge graph with several components and long chains."""
+    200-edge graph with several components and long chains — BOTH variants
+    (min-label propagation and large-star/small-star contraction) must
+    agree with it, and the star variant must need fewer rounds than the
+    chain diameter (its O(log n) vs O(diameter) advantage)."""
     import random
 
-    from samu_ocr_extraction_poc_spark.operators.dedup import connected_components
+    from samu_ocr_extraction_poc_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
 
     rng = random.Random(13)
     edges = set()
@@ -615,7 +669,16 @@ def test_connected_components_matches_union_find(spark):
         if a != b:
             edges.add((min(a, b), max(a, b)))
     pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
-    got = {r["doc_id"]: r["component"] for r in connected_components(pairs, max_iter=50).collect()}
+    ml_stats: dict = {}
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, max_iter=50, stats=ml_stats).collect()
+    }
+    star_stats: dict = {}
+    got_star = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(pairs, max_iter=20, stats=star_stats).collect()
+    }
 
     parent: dict[int, int] = {}
 
@@ -635,3 +698,27 @@ def test_connected_components_matches_union_find(spark):
         expected_groups.setdefault(find(v), set()).add(v)
     expected = {v: min(grp) for root, grp in expected_groups.items() for v in grp}
     assert got == expected
+    assert got_star == expected
+    # the 30-edge chain forces min-label to ~diameter rounds; star
+    # contraction collapses it in O(log n)
+    assert ml_stats["rounds"] >= 25
+    assert star_stats["rounds"] <= 8, f"star took {star_stats['rounds']} rounds"
+
+
+def test_connected_components_star_known_graph_and_cache(spark):
+    """Star-contraction variant on the known graph: same labels as
+    min-label, isolated-pair and chain components intact, caches released
+    (only the returned eager frame may remain)."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 22), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    cc = connected_components_star(pairs)
+    got = {r["doc_id"]: r["component"] for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    after = sc._jsc.getPersistentRDDs().size()
+    assert after - before <= 1
