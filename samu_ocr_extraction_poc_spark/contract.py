@@ -1265,8 +1265,8 @@ h AS (SELECT key, text, ('0x' || substr(sha256(key), 1, 8))::BIGINT AS hv,
       FROM base),
 letters AS (SELECT text, hv, w,
                    least(CAST(ceil(len(w) / 8.0) AS BIGINT), 4) AS k,
-                   CASE WHEN hv % 20 < 10 THEN 'plain' ELSE 'media_heavy' END AS sub
-            FROM h WHERE hv % 20 < 10 OR hv % 20 >= 19)
+                   CASE WHEN hv % 20 < 9 THEN 'plain' ELSE 'media_heavy' END AS sub
+            FROM h WHERE hv % 20 < 9 OR hv % 20 >= 19)
 SELECT count(*) AS n_docs,
        CAST(sum(CASE WHEN sub = 'plain'
                 THEN length(text) + CASE WHEN hv % 3 = 0 THEN 16 ELSE 0 END
@@ -1286,22 +1286,23 @@ FROM letters
 # whitespace). The per-operator oracles above make no such assumption —
 # see tests/test_oracle_edge.py.
 # mirrors fixtures.spans_from_text exactly: sel = sha256(key)[:8] % 20;
-# letter: lines + page_breaks (+ media if h%3==0); html: 1 span;
-# transcript: min(nl,8); pleading: 10+min(nl,5); medical: 2+min(nl,6);
-# expense: 3; media-heavy: 1+2*min(nl,4)
+# letter (sel<9): lines + page_breaks (+ media if h%3==0); email (sel 9):
+# 1 span; html: 1 span; transcript: min(nl,8); pleading: 10+min(nl,5);
+# medical: 2+min(nl,6); expense: 3; media-heavy: 1+2*min(nl,4)
 ROUTING_CHECK_SQL = """
 WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS key, len(string_split(text, ' ')) AS nw FROM documents),
 h AS (SELECT key, ('0x' || substr(sha256(key), 1, 8))::BIGINT AS hv,
              CAST(ceil(nw / 8.0) AS BIGINT) AS nl
       FROM base),
-r AS (SELECT CASE WHEN hv % 20 < 10 THEN 'correspondence_letter'
+r AS (SELECT CASE WHEN hv % 20 < 9 THEN 'correspondence_letter'
+                  WHEN hv % 20 < 10 THEN 'correspondence_email'
                   WHEN hv % 20 < 13 THEN 'html'
                   WHEN hv % 20 < 15 THEN 'correspondence_transcript'
                   WHEN hv % 20 < 17 THEN 'pleading'
                   WHEN hv % 20 < 19 THEN 'medical'
                   ELSE 'correspondence_letter' END AS doc_type,
-             CASE WHEN hv % 20 < 10 THEN nl + CAST(ceil(nl / 5.0) AS BIGINT)
-                                         + CASE WHEN hv % 3 = 0 THEN 1 ELSE 0 END
+             CASE WHEN hv % 20 < 9 THEN nl + CAST(ceil(nl / 5.0) AS BIGINT)
+                                        + CASE WHEN hv % 3 = 0 THEN 1 ELSE 0 END
                   WHEN hv % 20 < 13 THEN 1
                   WHEN hv % 20 < 15 THEN least(nl, 8)
                   WHEN hv % 20 < 17 THEN 10 + least(nl, 5)
@@ -1311,6 +1312,43 @@ r AS (SELECT CASE WHEN hv % 20 < 10 THEN 'correspondence_letter'
       FROM h)
 SELECT doc_type, count(*) AS n_docs, CAST(sum(n_spans) AS BIGINT) AS total_spans
 FROM r GROUP BY doc_type
+"""
+
+
+def extract_email_text_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled content-assembly check #5 (round 3, VERDICT r2 item 2): the
+    email family (S3, parse_email — reference lib/text-extractor.ts:35-153)
+    under the driver gate. The synth email's body is the 8-word line fold
+    newline-joined, so len(raw_text) = len(text) exactly (separator-for-
+    separator); the parsed Subject header is 'Matter {h%1000}' so its
+    length is 7 + digits(h%1000). DuckDB predicts both totals without
+    running the engine — MIME parse, header extraction, and body recovery
+    are all cross-engine-checked."""
+    from .fixtures import synth_corpus_from_documents
+    from .plans.pipeline import run_extraction
+
+    docs = synth_corpus_from_documents(_t(spark, sf_dir, "documents"))
+    res = run_extraction(docs)
+    return (
+        res.where(F.col("doc_type") == "correspondence_email")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("raw_text")).cast("bigint").alias("total_chars"),
+            F.sum(F.length(F.col("email.subject"))).cast("bigint").alias(
+                "total_subject_chars"
+            ),
+        )
+    )
+
+
+EMAIL_TEXT_SQL = """
+WITH h AS (SELECT text,
+                  ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+           FROM documents)
+SELECT count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(7 + length(CAST(hv % 1000 AS VARCHAR))) AS BIGINT) AS total_subject_chars
+FROM h WHERE hv % 20 = 9
 """
 
 
@@ -1584,6 +1622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pipeline": extract_pipeline,
     "extract_routing_check": extract_routing_check,
     "extract_letter_text_check": extract_letter_text_check,
+    "extract_email_text_check": extract_email_text_check,
     "extract_transcript_text_check": extract_transcript_text_check,
     "extract_html_text_check": extract_html_text_check,
     "extract_pleading_medical_text_check": extract_pleading_medical_text_check,
@@ -1636,6 +1675,7 @@ ORACLE_SQL: dict[str, str] = {
     "user_sessions": SESSIONS_SQL,
     "extract_routing_check": ROUTING_CHECK_SQL,
     "extract_letter_text_check": LETTER_TEXT_SQL,
+    "extract_email_text_check": EMAIL_TEXT_SQL,
     "extract_transcript_text_check": TRANSCRIPT_TEXT_SQL,
     "extract_html_text_check": HTML_TEXT_SQL,
     "extract_pleading_medical_text_check": PLEADING_MED_TEXT_SQL,

@@ -394,14 +394,14 @@ def spans_from_text(key: str, text: str) -> list[dict]:
     """Deterministically interleave a plain-text doc into spans.
 
     Doc family rotates on sha256(key) so a corpus exercises EVERY extractor
-    branch: 50% pdf-letter, 15% html, 10% transcript, 10% pleading,
-    5% medical, 5% expense, 5% mixed media-heavy.
+    branch: 45% pdf-letter, 5% RFC-822 email, 15% html, 10% transcript,
+    10% pleading, 5% medical, 5% expense, 5% mixed media-heavy.
     """
     h = int(hashlib.sha256(key.encode()).hexdigest()[:8], 16)
     words = text.split()
     lines = [" ".join(words[i : i + WORDS_PER_LINE]) for i in range(0, len(words), WORDS_PER_LINE)]
     sel = h % 20
-    if sel < 10:  # pdf letter
+    if sel < 9:  # pdf letter
         spans = []
         for i, line in enumerate(lines):
             if i % LINES_PER_PAGE == 0:
@@ -410,6 +410,19 @@ def spans_from_text(key: str, text: str) -> list[dict]:
         if h % 3 == 0:
             spans.append(span("media", "", f"img-{h % 7:03d}"))
         return _seq(spans)
+    if sel < 10:  # RFC-822 email (sel 9, carved from letters in round 3 —
+        # VERDICT r2 item 2: parse_email/S3 was pytest-golden-only before)
+        body = "\n".join(lines)
+        raw = (
+            f"Message-ID: <msg-{h % 100000}@example.test>\n"
+            f"Date: Mon, {h % 28 + 1:02d} Jan 2024 "
+            f"{h % 24:02d}:{h % 60:02d}:{(h // 7) % 60:02d} +0000\n"
+            f"From: Sender {h % 50} <sender{h % 50}@example.test>\n"
+            f"To: Recipient {h % 40} <recipient{h % 40}@example.test>\n"
+            f"Subject: Matter {h % 1000}\n"
+            "\n" + body
+        )
+        return _seq([span("email", raw)])
     if sel < 13:  # html
         body = "".join(f"<p>{line} and some more prose to pass the length gate.</p>" for line in lines[:6])
         html = (
