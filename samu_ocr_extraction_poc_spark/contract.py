@@ -511,14 +511,37 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.groupBy("component").agg(F.count("*").alias("n_members"))
 
 
-CC_SQL = _LSH_CTES.replace("WITH norm AS", "WITH RECURSIVE norm AS", 1) + """,
+_CC_CTES = _LSH_CTES.replace("WITH norm AS", "WITH RECURSIVE norm AS", 1) + """,
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
           UNION SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs),
 verts AS (SELECT DISTINCT src AS id FROM edges),
 reach(id, r) AS (SELECT id, id FROM verts
                  UNION SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
 comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+"""
+
+CC_SQL = _CC_CTES + """
 SELECT component, count(*) AS n_members FROM comp GROUP BY component
+"""
+
+
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-returning end of the dedup story (operators/dedup.py:
+    keep_canonical): minhash-LSH pairs -> connected components -> drop
+    every clustered document except its component minimum -> the surviving
+    corpus a training pipeline actually trains on. The oracle replays the
+    transitive closure and the same keep-min rule."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = DD.minhash_signatures(docs, num_hashes=8, k=3)
+    pairs = DD.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    return DD.keep_canonical(docs, pairs).select("doc_id", "lang", "n_chars")
+
+
+DEDUP_APPLY_SQL = _CC_CTES + """
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+LEFT JOIN (SELECT id FROM comp WHERE id <> component) dr ON dr.id = d.doc_id
+WHERE dr.id IS NULL
 """
 
 
@@ -846,6 +869,44 @@ SELECT lang, count(*) AS n_total,
                      < (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents GROUP BY lang
+"""
+
+
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-returning Gopher-style quality gate (operators/corpus.py:
+    quality_filter): composite quality >= 0.4 AND duplicate-trigram char
+    fraction <= 0.4. Survivor rows with both signals."""
+    from .operators import corpus as CP
+
+    return CP.quality_filter(
+        _t(spark, sf_dir, "documents"), min_quality=0.4, max_dup_trigram=0.4
+    )
+
+
+QUALITY_FILTER_SQL = f"""
+WITH t AS (SELECT doc_id, length(trim(text)) AS nc, string_split(trim(text), ' ') AS w FROM documents),
+s AS (SELECT doc_id, nc, CAST(len(w) AS DOUBLE) AS n,
+             len(list_distinct(w)) AS n_distinct,
+             len(list_filter(w, x -> list_contains({_STOP_LIST}, x))) AS n_stop
+      FROM t),
+q AS (SELECT doc_id,
+             CASE WHEN nc = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+             round(0.4 * (n_distinct / n)
+                   + 0.4 * least(CAST(1.0 AS DOUBLE), (n_stop / n) * 5)
+                   + 0.2 * (CASE WHEN n >= 20 THEN CAST(1.0 AS DOUBLE) ELSE n / 20.0 END), 4) END AS quality
+      FROM s),
+norm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+tg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                             i -> array_to_string(w[i:i+2], ' '))) AS g
+       FROM norm),
+tgc AS (SELECT doc_id, g, count(*) AS cnt FROM tg GROUP BY doc_id, g),
+tfrac AS (SELECT doc_id,
+                 round(sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END)
+                       / sum(cnt * length(g)), 4) AS dup_trigram_char_frac
+          FROM tgc GROUP BY doc_id)
+SELECT q.doc_id, q.quality, tfrac.dup_trigram_char_frac
+FROM q LEFT JOIN tfrac ON tfrac.doc_id = q.doc_id
+WHERE q.quality >= 0.4 AND coalesce(tfrac.dup_trigram_char_frac, 0.0) <= 0.4
 """
 
 
@@ -1595,6 +1656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": minhash_lsh_pairs_q,
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
+    "dedup_apply": dedup_apply,
     "simhash": simhash_q,
     "simhash_near_pairs": simhash_near_pairs,
     "props_parse": props_parse,
@@ -1610,6 +1672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": chunk_documents_q,
     "stratified_sample": stratified_sample_q,
     "sample_documents": sample_documents_q,
+    "quality_filter": quality_filter_q,
     "bm25_search": bm25_search,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
@@ -1650,6 +1713,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_pairs": LSH_SQL,
     "dedup_components": CC_SQL,
     "dedup_components_star": CC_SQL,
+    "dedup_apply": DEDUP_APPLY_SQL,
     "simhash": SIMHASH_SQL,
     "simhash_near_pairs": SIMHASH_PAIRS_SQL,
     "props_parse": PROPS_SQL,
@@ -1665,6 +1729,7 @@ ORACLE_SQL: dict[str, str] = {
     "chunk_documents": CHUNK_SQL,
     "stratified_sample": STRATIFIED_SQL,
     "sample_documents": SAMPLE_DOCS_SQL,
+    "quality_filter": QUALITY_FILTER_SQL,
     "bm25_search": BM25_SQL,
     "embed_topk_cosine": EMBED_TOPK_SQL,
     "embed_ivf_topk": EMBED_IVF_SQL,

@@ -71,6 +71,42 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    min_quality: float = 0.4,
+    max_dup_trigram: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Row-returning Gopher-style quality gate: keep documents whose
+    composite quality score (functions/textfns.quality_score: distinct
+    ratio, stopword density, length) clears ``min_quality`` AND whose
+    duplicate-trigram character fraction stays under ``max_dup_trigram``
+    (repetitious boilerplate). Short docs with no trigram signal pass the
+    repetition gate (NULL -> 0). The quality side is a narrow expression
+    on the scan; the repetition side is one explode + two partial-agg
+    groupBys joined back by doc id.
+
+    Returns (doc_id, quality, dup_trigram_char_frac) for survivors.
+    """
+    from ..functions.textfns import quality_score
+
+    rep = repetition_stats(df, text_col, id_col).select(
+        "doc_id", "dup_trigram_char_frac"
+    )
+    scored = df.select(
+        F.col(id_col).alias("doc_id"), quality_score(F.col(text_col)).alias("quality")
+    )
+    return (
+        scored.join(rep, "doc_id")
+        .where(
+            (F.col("quality") >= min_quality)
+            & (F.coalesce(F.col("dup_trigram_char_frac"), F.lit(0.0)) <= max_dup_trigram)
+        )
+        .select("doc_id", "quality", "dup_trigram_char_frac")
+    )
+
+
 def _md5_bucket(col: Column, hex_chars: int, modulus: int) -> Column:
     """Deterministic integer bucket from md5 hex — identical in DuckDB as
     ('0x' || substr(md5(x), 1, n))::BIGINT % m."""

@@ -408,6 +408,30 @@ def cross_corpus_contamination(
     return out
 
 
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    use_star: bool = False,
+) -> DataFrame:
+    """APPLY near-dup dedup to the corpus: cluster the candidate pairs
+    (connected components) and keep exactly one document per cluster — the
+    component minimum (the same keep-min convention as exact_dedup_groups)
+    — plus every unclustered document. This is the row-returning end of
+    the dedup story: pairs -> clusters -> the surviving training corpus.
+
+    Plan shape at scale: the drop-list (clustered non-minima) is tiny
+    relative to the corpus — one left_anti join against it; no shuffle of
+    the corpus beyond that join (AQE broadcasts the drop side when it
+    fits). Returns the surviving input rows, all columns.
+    """
+    cc = (connected_components_star if use_star else connected_components)(pairs)
+    drop = cc.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def _release_frame(df: DataFrame) -> None:
     """Release whatever backs an intermediate frame: the CacheManager entry
     for persist()-ed frames (plain unpersist), AND the cached internal RDD

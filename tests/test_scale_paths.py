@@ -722,3 +722,28 @@ def test_connected_components_star_known_graph_and_cache(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
     after = sc._jsc.getPersistentRDDs().size()
     assert after - before <= 1
+
+
+def test_keep_canonical_both_variants_agree(spark):
+    """keep_canonical drops every clustered non-minimum and keeps isolated
+    docs untouched; the min-label and star-contraction cluster backends
+    produce the same surviving corpus."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 4, 10, 11, 20, 21, 22, 99)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 22), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    expect = {1, 10, 20, 99}  # component minima + the isolated doc 99
+    kept = {r["doc_id"] for r in keep_canonical(docs, pairs).collect()}
+    assert kept == expect
+    kept_star = {
+        r["doc_id"] for r in keep_canonical(docs, pairs, use_star=True).collect()
+    }
+    assert kept_star == expect
+    # all input columns survive
+    assert keep_canonical(docs, pairs).columns == ["doc_id", "text"]
