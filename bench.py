@@ -44,7 +44,14 @@ HEADLINE = [
     # rounds dominate at sandbox scale, so it is the slowest entry — present
     # with its honest number rather than omitted (VERDICT r2 item 5)
     "dedup_components",
+    # pairs -> clusters -> surviving corpus (the row-returning apply step)
+    "dedup_apply",
+    "quality_filter",
+    "boilerplate_strip",
+    "kmv_distinct",
+    "curate_corpus",
     "embed_quantized_topk",
+    "embed_contamination",
     "bm25_search",
     "embed_topk_cosine",
     "embed_ivf_topk",

@@ -883,30 +883,146 @@ def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUALITY_FILTER_SQL = f"""
-WITH t AS (SELECT doc_id, length(trim(text)) AS nc, string_split(trim(text), ' ') AS w FROM documents),
-s AS (SELECT doc_id, nc, CAST(len(w) AS DOUBLE) AS n,
+# CTE names prefixed q* so the block composes with _CC_CTES (whose shingle
+# base already owns the name `norm`) inside one WITH RECURSIVE — see
+# CURATE_SQL.
+_QUALITY_CTES = f"""
+qt AS (SELECT doc_id, length(trim(text)) AS nc, string_split(trim(text), ' ') AS w FROM documents),
+qs AS (SELECT doc_id, nc, CAST(len(w) AS DOUBLE) AS n,
              len(list_distinct(w)) AS n_distinct,
              len(list_filter(w, x -> list_contains({_STOP_LIST}, x))) AS n_stop
-      FROM t),
-q AS (SELECT doc_id,
+      FROM qt),
+qq AS (SELECT doc_id,
              CASE WHEN nc = 0 THEN CAST(0.0 AS DOUBLE) ELSE
              round(0.4 * (n_distinct / n)
                    + 0.4 * least(CAST(1.0 AS DOUBLE), (n_stop / n) * 5)
                    + 0.2 * (CASE WHEN n >= 20 THEN CAST(1.0 AS DOUBLE) ELSE n / 20.0 END), 4) END AS quality
-      FROM s),
-norm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
-tg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+      FROM qs),
+qnorm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+qtg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
                              i -> array_to_string(w[i:i+2], ' '))) AS g
-       FROM norm),
-tgc AS (SELECT doc_id, g, count(*) AS cnt FROM tg GROUP BY doc_id, g),
-tfrac AS (SELECT doc_id,
+       FROM qnorm),
+qtgc AS (SELECT doc_id, g, count(*) AS cnt FROM qtg GROUP BY doc_id, g),
+qtfrac AS (SELECT doc_id,
                  round(sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END)
                        / sum(cnt * length(g)), 4) AS dup_trigram_char_frac
-          FROM tgc GROUP BY doc_id)
-SELECT q.doc_id, q.quality, tfrac.dup_trigram_char_frac
-FROM q LEFT JOIN tfrac ON tfrac.doc_id = q.doc_id
-WHERE q.quality >= 0.4 AND coalesce(tfrac.dup_trigram_char_frac, 0.0) <= 0.4
+          FROM qtgc GROUP BY doc_id),
+qpass AS (SELECT qq.doc_id, qq.quality, qtfrac.dup_trigram_char_frac
+          FROM qq LEFT JOIN qtfrac ON qtfrac.doc_id = qq.doc_id
+          WHERE qq.quality >= 0.4 AND coalesce(qtfrac.dup_trigram_char_frac, 0.0) <= 0.4)
+"""
+
+QUALITY_FILTER_SQL = "WITH " + _QUALITY_CTES + """
+SELECT doc_id, quality, dup_trigram_char_frac FROM qpass
+"""
+
+
+def boilerplate_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document boilerplate removal (operators/corpus.py:
+    remove_boilerplate): 8-token segments occurring in >= 2 distinct
+    documents are dropped, each document re-assembled from its survivors.
+    The oracle replays the segmentation, the 60-bit md5 doc-frequency
+    count, and the ordered re-assembly."""
+    from .operators import corpus as CP
+
+    return CP.remove_boilerplate(
+        _t(spark, sf_dir, "documents"), seg_tokens=8, min_doc_freq=2
+    )
+
+
+BOILERPLATE_SQL = """
+WITH bt AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split(trim(text), ' ')) END AS n
+            FROM documents),
+bsegs AS (SELECT doc_id,
+                 unnest(range(1, CAST(ceil(n / 8.0) AS BIGINT) + 1)) AS pos,
+                 unnest(list_transform(range(1, CAST(ceil(n / 8.0) AS BIGINT) + 1),
+                        s -> array_to_string(w[(s-1)*8+1:(s-1)*8+8], ' '))) AS seg
+          FROM bt WHERE n > 0),
+bh AS (SELECT doc_id, pos, seg,
+              ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h
+       FROM bsegs),
+bfreq AS (SELECT h, count(DISTINCT doc_id) AS doc_freq FROM bh GROUP BY h),
+bkept AS (SELECT bh.doc_id, bh.pos, bh.seg
+          FROM bh JOIN bfreq USING (h) WHERE bfreq.doc_freq < 2),
+bagg AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(seg, ' ' ORDER BY pos) AS clean_text
+         FROM bkept GROUP BY doc_id),
+btot AS (SELECT doc_id, count(*) AS n_segments FROM bh GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(btot.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(btot.n_segments, 0) - coalesce(bagg.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(bagg.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN btot ON btot.doc_id = d.doc_id
+LEFT JOIN bagg ON bagg.doc_id = d.doc_id
+"""
+
+
+def kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct word-BIGRAM count estimate via the
+    deterministic KMV sketch (operators/sketch.py:kmv_distinct_tokens) —
+    the cross-engine-replayable stand-in for approx_count_distinct (HLL
+    estimates are engine-specific; k minimum md5 values are a pure
+    function of the n-gram set, so DuckDB reproduces the estimate
+    bit-for-bit). Bigrams, not unigrams: the synth vocabulary is ~31
+    words/lang, so only the n-gram space exercises the estimation branch
+    (n_mins == k)."""
+    from .operators import sketch as SK
+
+    return SK.kmv_distinct_tokens(_t(spark, sf_dir, "documents"), k=64, ngram=2)
+
+
+KMV_SQL = """
+WITH knorm AS (SELECT lang, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+ktoks AS (SELECT lang, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                              i -> array_to_string(w[i:i+1], ' '))) AS tok
+          FROM knorm),
+kh AS (SELECT DISTINCT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM ktoks),
+kr AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM kh),
+km AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_mins, max(h) AS kth
+       FROM kr WHERE rn <= 64 GROUP BY lang)
+SELECT lang, n_mins,
+       CASE WHEN n_mins < 64 THEN CAST(n_mins AS DOUBLE)
+            ELSE round(63.0 * 1152921504606846976 / kth, 2) END AS distinct_est
+FROM km
+"""
+
+
+def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: the intersection of three independently-
+    computed gates — the Gopher quality gate (quality_filter), the near-dup
+    canonical gate (keep the component minimum of the full-corpus LSH
+    clusters — keep_canonical), and deterministic stratified sampling
+    (sample_documents). Each gate is its own audited operator; the
+    composition is two left-semi joins on doc_id (both sides small relative
+    to the corpus, AQE broadcasts them when they fit)."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators import corpus as CP
+
+    q = CP.quality_filter(docs).select("doc_id")
+    sig = DD.minhash_signatures(docs, num_hashes=8, k=3)
+    pairs = DD.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    canon = DD.keep_canonical(docs, pairs).select("doc_id")
+    sampled = CP.sample_documents(
+        docs, rates={"en": 500, "de": 250}, default_rate=100
+    )
+    return (
+        sampled.join(q, "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+CURATE_SQL = _CC_CTES + ",\n" + _QUALITY_CTES + """
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN qpass ON qpass.doc_id = d.doc_id
+LEFT JOIN (SELECT id FROM comp WHERE id <> component) dr ON dr.id = d.doc_id
+WHERE dr.id IS NULL
+  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+      < (CASE d.lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END)
 """
 
 
@@ -1140,10 +1256,12 @@ def embed_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.col("cos").desc(), "id_a", "id_b").limit(50)
 
 
-def _hyperplane_sql() -> str:
-    """DuckDB replay of hyperplane_lsh_pairs: same integer planes (generated
-    by the same md5 scheme), same fixed-point quantization, same bucket
-    keys, same round(4) cosine re-rank."""
+def _hyperplane_ctes() -> str:
+    """Shared DuckDB CTE base replaying operators/similarity._sign_buckets:
+    same integer planes (generated by the same md5 scheme), same
+    fixed-point quantization, same (table, bucket) keys — used by both the
+    self-join (HYPERPLANE_SQL) and the train/test probe
+    (EMBED_CONTAMINATION_SQL)."""
     n_tables, bits, dim = 6, 4, 64
     planes = SIM._hyperplanes(n_tables * bits, dim)
     rows = ",\n    ".join(
@@ -1163,7 +1281,11 @@ bits AS (SELECT e.vec_id, p.t,
                                                   d -> e.q[d] * p.pv[d])) > 0
                      THEN CAST(1 AS BIGINT) << p.i ELSE CAST(0 AS BIGINT) END AS bit
          FROM e, planes p),
-bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bkt FROM bits GROUP BY vec_id, t),
+bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bkt FROM bits GROUP BY vec_id, t)
+"""
+
+
+HYPERPLANE_SQL = _hyperplane_ctes() + """,
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          FROM bk a JOIN bk b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
@@ -1172,7 +1294,34 @@ ORDER BY cos DESC, id_a, id_b LIMIT 50
 """
 
 
-HYPERPLANE_SQL = _hyperplane_sql()
+def embed_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train/test contamination (operators/similarity.py:
+    semantic_contamination): even/odd vec_id parity plays train/test; a
+    test vector is contaminated when a train vector within cosine >= 0.35
+    collides with it in any hyperplane-LSH table (this synthetic set has
+    no planted cross-parity near-dups, so the threshold sits just under
+    the observed cross-parity max ~0.5 — non-vacuous hits AND misses at
+    every sf). Same planes/sign-bits as embed_hyperplane_pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 2 == 0)
+    test = emb.where(F.col("vec_id") % 2 == 1)
+    return SIM.semantic_contamination(
+        train, test, dim=64, threshold=0.35, n_tables=6, bits_per_table=4
+    )
+
+
+EMBED_CONTAMINATION_SQL = _hyperplane_ctes() + """,
+cand AS (SELECT DISTINCT a.vec_id AS test_id, b.vec_id AS train_id
+         FROM bk a JOIN bk b ON a.t = b.t AND a.bkt = b.bkt
+         WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0),
+hits AS (SELECT test_id, train_id,
+                round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+         FROM cand JOIN e ea ON ea.vec_id = test_id
+                   JOIN e eb ON eb.vec_id = train_id)
+SELECT test_id AS vec_id, CAST(count(*) AS BIGINT) AS n_train_hits,
+       max(cos) AS max_cos
+FROM hits WHERE cos >= 0.35 GROUP BY test_id
+"""
 
 
 def embed_blocked_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1673,12 +1822,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": stratified_sample_q,
     "sample_documents": sample_documents_q,
     "quality_filter": quality_filter_q,
+    "boilerplate_strip": boilerplate_strip_q,
+    "kmv_distinct": kmv_distinct_q,
+    "curate_corpus": curate_corpus_q,
     "bm25_search": bm25_search,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
     "embed_quantized_topk": embed_quantized_topk,
     "embed_blocked_top_pairs": embed_blocked_top_pairs,
     "embed_hyperplane_pairs": embed_hyperplane_pairs,
+    "embed_contamination": embed_contamination,
     "kmeans_clusters": kmeans_clusters,
     "events_hourly": events_hourly,
     "user_sessions": user_sessions,
@@ -1730,12 +1883,16 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_sample": STRATIFIED_SQL,
     "sample_documents": SAMPLE_DOCS_SQL,
     "quality_filter": QUALITY_FILTER_SQL,
+    "boilerplate_strip": BOILERPLATE_SQL,
+    "kmv_distinct": KMV_SQL,
+    "curate_corpus": CURATE_SQL,
     "bm25_search": BM25_SQL,
     "embed_topk_cosine": EMBED_TOPK_SQL,
     "embed_ivf_topk": EMBED_IVF_SQL,
     "embed_quantized_topk": EMBED_QUANT_SQL,
     "embed_blocked_top_pairs": EMBED_PAIRS_SQL,
     "embed_hyperplane_pairs": HYPERPLANE_SQL,
+    "embed_contamination": EMBED_CONTAMINATION_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "user_sessions": SESSIONS_SQL,
     "extract_routing_check": ROUTING_CHECK_SQL,

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.textfns import normalized, token_count, tokens
+from ..functions.textfns import normalized, token_count, token_md5_long, tokens
 
 
 def _kgrams(text_col: Column, k: int) -> Column:
@@ -213,6 +213,89 @@ def stratified_sample(
         F.count("*").alias("n_total"),
         F.sum(kept).cast("bigint").alias("n_kept"),
     )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    seg_tokens: int = 8,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style cross-document boilerplate removal: split every document
+    into fixed-size non-overlapping token segments (the corpus has no
+    newlines — a delimiter-split would be the line-level variant), count in
+    how many DISTINCT documents each segment occurs, drop the segments
+    reaching ``min_doc_freq`` documents (shared boilerplate: headers,
+    footers, licence blocks, near-dup carry-over), and re-assemble each
+    document from its surviving segments in order.
+
+    Plan shape at scale: segment explode is narrow on the scan and feeds
+    two consumers (the doc-frequency hash-agg — count DISTINCT doc is
+    two-phase partial-aggregable — and the decision join), so it is
+    persisted once, the materialized segment index. The decision join keys
+    on the 60-bit md5 segment hash (narrow shuffle key, md5-uniform — no
+    skew); counts and the ordered re-assembly come from ONE per-document
+    aggregation (collect_list bounded by document size). No global window,
+    no driver loop. The result is returned eager (localCheckpoint — at
+    scale this is the written cleaned corpus) so the index cache releases
+    before the caller consumes it.
+
+    Returns one row per input document:
+    (doc_id, n_segments, n_removed, clean_text) — a fully-removed or empty
+    document keeps its row with clean_text = ''.
+    """
+    toks = tokens(F.col(text_col))
+    n = token_count(F.col(text_col))
+    n_segs = F.ceil(n / F.lit(float(seg_tokens))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(1), n_segs),
+        lambda s: F.array_join(
+            F.slice(toks, (s - 1) * seg_tokens + 1, seg_tokens), " "
+        ),
+    )
+    exploded = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.when(n > 0, segs).otherwise(F.array().cast("array<string>")).alias("segs"),
+        )
+        .select("doc_id", F.posexplode("segs").alias("pos", "seg"))
+        .withColumn("h", token_md5_long(F.col("seg")))
+        .persist()
+    )
+    freq = exploded.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    tagged = exploded.join(freq, "h").withColumn(
+        "keep", F.col("doc_freq") < min_doc_freq
+    )
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg", "keep"))),
+                    lambda x: x["keep"],
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint").alias("n_segments"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    exploded.unpersist()
+    return out
 
 
 def chunk_documents(

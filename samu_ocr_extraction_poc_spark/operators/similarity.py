@@ -246,6 +246,74 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
 # hyperplane_lsh_pairs below and HYPERPLANE_SQL in contract.py.
 
 
+def _sign_buckets(
+    corpus: DataFrame,
+    planes: list[list[int]],
+    n_tables: int,
+    bits_per_table: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vid, vec, t, bkt) rows: each vector exploded into its n_tables
+    sign-bit bucket keys. Quantize ONCE per row (q = floor(v*1e6) as
+    long), then every plane dot is a pure integer zip_with over q —
+    computing floor inside each of the n_tables*bits dots would redo the
+    same float work 24x per row. Shared by the self-join
+    (hyperplane_lsh_pairs) and the train/test probe join
+    (semantic_contamination).
+
+    The plane matrix enters the plan as ONE parsed literal
+    (array<array<bigint>> via F.expr) and the per-plane dots as one
+    transform over its indices: building 24 separate 64-element literal
+    arrays through the Python Column API costs ~3000 py4j round trips
+    (~5 s of driver time per call, measured) for the identical plan.
+    """
+    n_planes = n_tables * bits_per_table
+    plane_lit = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(v)}L" for v in row) + ")" for row in planes
+        )
+        + ")"
+    )
+    vec = F.col(vec_col)
+    quantized = corpus.select(
+        F.col(id_col).alias("vid"),
+        vec.alias("vec"),
+        F.transform(
+            vec, lambda x: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE))).cast("long")
+        ).alias("q"),
+    )
+    dotted = quantized.select(
+        "vid",
+        "vec",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_planes)),
+            lambda p: F.aggregate(
+                F.zip_with(
+                    F.col("q"), F.element_at(plane_lit, p), lambda x, pl: x * pl
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        ).alias("dots"),
+    )
+    tables = []
+    for t in range(n_tables):
+        bucket = None
+        for i in range(bits_per_table):
+            bit = (
+                F.element_at(F.col("dots"), t * bits_per_table + i + 1) > 0
+            ).cast("long") * F.lit(2 ** i)
+            bucket = bit if bucket is None else bucket + bit
+        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("bkt")))
+    return dotted.select(
+        "vid",
+        "vec",
+        F.explode(F.array(*tables)).alias("tb"),
+    ).select("vid", "vec", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+
+
 def hyperplane_lsh_pairs(
     corpus: DataFrame,
     dim: int,
@@ -270,39 +338,7 @@ def hyperplane_lsh_pairs(
     Returns distinct (id_a, id_b, cos).
     """
     planes = _hyperplanes(n_tables * bits_per_table, dim)
-    vec = F.col(vec_col)
-    # Quantize ONCE per row (q = floor(v*1e6) as long), then every plane dot
-    # is a pure integer zip_with over q — computing floor inside each of the
-    # n_tables*bits dots would redo the same float work 24x per row.
-    quantized = corpus.select(
-        F.col(id_col).alias("vid"),
-        vec.alias("vec"),
-        F.transform(
-            vec, lambda x: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE))).cast("long")
-        ).alias("q"),
-    )
-
-    def _int_dot(plane: list[int]) -> Column:
-        plane_col = F.array(*[F.lit(int(p)).cast("long") for p in plane])
-        return F.aggregate(
-            F.zip_with(F.col("q"), plane_col, lambda x, p: x * p),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    tables = []
-    for t in range(n_tables):
-        bucket = None
-        for i in range(bits_per_table):
-            plane = planes[t * bits_per_table + i]
-            bit = (_int_dot(plane) > 0).cast("long") * F.lit(2 ** i)
-            bucket = bit if bucket is None else bucket + bit
-        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("bkt")))
-    base = quantized.select(
-        "vid",
-        "vec",
-        F.explode(F.array(*tables)).alias("tb"),
-    ).select("vid", "vec", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+    base = _sign_buckets(corpus, planes, n_tables, bits_per_table, id_col, vec_col)
     a = base.alias("a")
     b = base.alias("b")
     return (
@@ -316,6 +352,53 @@ def hyperplane_lsh_pairs(
             "id_b",
             F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
         )
+    )
+
+
+def semantic_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    n_tables: int = 6,
+    bits_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Benchmark contamination in EMBEDDING space (the semantic sibling of
+    dedup.cross_corpus_contamination's exact-window check): for each TEST
+    vector, how many TRAIN vectors sit within cosine >= threshold, found
+    through the same multi-table hyperplane LSH buckets as
+    hyperplane_lsh_pairs (identical planes, identical fixed-point sign
+    bits — the candidate set is replayable by the DuckDB oracle).
+
+    Scale path: a test->train probe join on (table, bucket) keys — NO
+    self-join; per-table bucket occupancy is corpus/2^bits, and the exact
+    cosine runs only on colliding pairs. Returns contaminated test rows
+    only: (vec_id, n_train_hits, max_cos).
+    """
+    planes = _hyperplanes(n_tables * bits_per_table, dim)
+    tr = _sign_buckets(train, planes, n_tables, bits_per_table, id_col, vec_col)
+    te = _sign_buckets(test, planes, n_tables, bits_per_table, id_col, vec_col)
+    cand = (
+        te.alias("a")
+        .join(tr.alias("b"), ["t", "bkt"])
+        .select(
+            F.col("a.vid").alias("test_id"),
+            F.col("b.vid").alias("train_id"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["test_id", "train_id"])
+    )
+    hits = cand.select(
+        "test_id",
+        "train_id",
+        F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+    ).where(F.col("cos") >= threshold)
+    return hits.groupBy(F.col("test_id").alias(id_col)).agg(
+        F.count("*").cast("bigint").alias("n_train_hits"),
+        F.max("cos").alias("max_cos"),
     )
 
 

@@ -550,6 +550,7 @@ def test_pair_operators_release_index_caches(spark):
     before returning — a bench loop re-invoking the contract entries must
     not accrete cached frames. Only the returned (localCheckpoint-ed)
     result frame may remain per call."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import remove_boilerplate
     from samu_ocr_extraction_poc_spark.operators.dedup import (
         cross_corpus_contamination,
         lsh_candidate_pairs,
@@ -570,6 +571,7 @@ def test_pair_operators_release_index_caches(spark):
         lambda: ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=100),
         lambda: shared_window_pairs(docs, k=16, max_df=50),
         lambda: cross_corpus_contamination(train, test_docs, k=16, max_df=50),
+        lambda: remove_boilerplate(docs, seg_tokens=8, min_doc_freq=2),
     ]
     # ContextCleaner releases dereferenced checkpoint blocks asynchronously,
     # so count cumulatively: at most ONE live frame (the eager result) per
@@ -747,3 +749,93 @@ def test_keep_canonical_both_variants_agree(spark):
     assert kept_star == expect
     # all input columns survive
     assert keep_canonical(docs, pairs).columns == ["doc_id", "text"]
+
+
+def test_remove_boilerplate_known_corpus(spark):
+    """Shared segments are dropped everywhere, unique segments survive in
+    order, and fully-stripped / empty documents keep their row with
+    clean_text = ''."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import remove_boilerplate
+
+    shared = "w1 w2 w3 w4"  # one full 4-token segment shared by docs 1+2
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} a b c d e f g h"),
+            (2, f"{shared} p q r s"),
+            (3, "x y z"),          # unique short doc: single partial segment
+            (4, shared),           # nothing but the shared segment
+            (5, ""),               # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(docs, seg_tokens=4, min_doc_freq=2).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["clean_text"] == "a b c d e f g h"
+    assert (out[1]["n_segments"], out[1]["n_removed"]) == (3, 1)
+    assert out[2]["clean_text"] == "p q r s"
+    assert out[3]["clean_text"] == "x y z"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 1
+    assert out[5]["clean_text"] == "" and out[5]["n_segments"] == 0
+
+
+def test_kmv_estimate_tracks_exact_and_plan(spark):
+    """KMV sketch: estimate within 25% of the exact distinct-bigram count
+    on the synth corpus (k=64 engages the estimation branch), exact count
+    returned verbatim when the group has fewer than k distinct units, and
+    the hierarchical min-k never runs a no-partition window."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import _kgrams
+    from samu_ocr_extraction_poc_spark.operators.sketch import kmv_distinct_tokens
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    est = {r["lang"]: r for r in kmv_distinct_tokens(docs, k=64).collect()}
+    exact = {
+        r["lang"]: r["d"]
+        for r in docs.select("lang", F.explode(_kgrams(F.col("text"), 2)).alias("g"))
+        .groupBy("lang")
+        .agg(F.countDistinct("g").alias("d"))
+        .collect()
+    }
+    for lang, row in est.items():
+        assert row["n_mins"] == 64
+        rel = abs(row["distinct_est"] - exact[lang]) / exact[lang]
+        assert rel < 0.25, f"{lang}: est {row['distinct_est']} vs {exact[lang]}"
+    # k larger than the true distinct count -> exact path
+    small = kmv_distinct_tokens(docs, k=10**6).collect()
+    for r in small:
+        assert r["distinct_est"] == float(exact[r["lang"]]) == float(r["n_mins"])
+    # both windows are partitioned (grp,sub)/(grp) — never SinglePartition
+    plan = kmv_distinct_tokens(docs, k=64)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_semantic_contamination_planted_leak(spark):
+    """A test vector identical to a train vector must surface as
+    contaminated with max_cos == 1.0 (hyperplane LSH always collides equal
+    vectors — every sign bit matches); an orthogonal test vector must not
+    appear. Probe join only: no test-test or train-train pairs."""
+    from samu_ocr_extraction_poc_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    dim = 8
+    leak = [1.0, 0.5, -0.25, 0.125, 1.0, -0.5, 0.25, -0.125]
+    ortho = [0.0] * 7 + [1.0]
+    train = spark.createDataFrame(
+        [(0, leak), (2, [0.9, 0.4, -0.2, 0.1, 1.1, -0.6, 0.3, -0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    test = spark.createDataFrame(
+        [(1, leak), (3, ortho)], "vec_id long, embedding array<double>"
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_contamination(
+            train, test, dim=dim, threshold=0.95
+        ).collect()
+    }
+    assert 1 in rows and rows[1]["max_cos"] == 1.0
+    assert 3 not in rows
