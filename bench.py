@@ -37,6 +37,7 @@ HEADLINE = [
     "repetition_stats",
     "pack_token_windows",
     "stratified_sample",
+    "budget_sample",
     "chunk_documents",
     "shared_window_pairs",
     "contamination_check",

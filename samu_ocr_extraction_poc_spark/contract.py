@@ -1045,6 +1045,34 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
 """
 
 
+def budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (operators/corpus.py:budget_sample):
+    keep-rates derived from per-language token budgets in pure integer
+    arithmetic (keep = budget*denom // total_tokens md5-buckets), the way
+    a training mix is actually specified. Kept rows returned."""
+    from .operators import corpus as CP
+
+    return CP.budget_sample(
+        _t(spark, sf_dir, "documents"),
+        budgets={"en": 5000, "de": 3000},
+        default_budget=2000,
+    )
+
+
+BUDGET_SAMPLE_SQL = """
+WITH bs AS (SELECT doc_id, lang,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS n_tok,
+                   CAST(CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000 ELSE 2000 END AS BIGINT) AS budget
+            FROM documents),
+bt AS (SELECT lang, sum(n_tok) AS total_tok FROM bs GROUP BY lang)
+SELECT bs.doc_id, bs.lang, bs.n_tok
+FROM bs JOIN bt USING (lang)
+WHERE ('0x' || substr(md5(CAST(bs.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+      < least(1000, (bs.budget * 1000) // bt.total_tok)
+"""
+
+
 def pack_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level packing assignments (operators/corpus.py:
     pack_assignments): the (doc_id -> shard, bin) rows a training pipeline
@@ -1822,6 +1850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": stratified_sample_q,
     "sample_documents": sample_documents_q,
     "quality_filter": quality_filter_q,
+    "budget_sample": budget_sample_q,
     "boilerplate_strip": boilerplate_strip_q,
     "kmv_distinct": kmv_distinct_q,
     "curate_corpus": curate_corpus_q,
@@ -1883,6 +1912,7 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_sample": STRATIFIED_SQL,
     "sample_documents": SAMPLE_DOCS_SQL,
     "quality_filter": QUALITY_FILTER_SQL,
+    "budget_sample": BUDGET_SAMPLE_SQL,
     "boilerplate_strip": BOILERPLATE_SQL,
     "kmv_distinct": KMV_SQL,
     "curate_corpus": CURATE_SQL,

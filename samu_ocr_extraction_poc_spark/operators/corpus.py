@@ -298,6 +298,54 @@ def remove_boilerplate(
     return out
 
 
+def budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 2000,
+    denom: int = 1000,
+    strat_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-BUDGET mixture sampling: where stratified/sample_documents
+    takes fixed keep-rates, a training mix is usually specified as tokens
+    per stratum ("500B English, 300B German, ..."). Compute each stratum's
+    total token count, derive the keep-rate as min(denom, budget*denom //
+    total) in pure integer arithmetic (bit-identical cross-engine — no FP
+    rate), and keep documents whose md5 bucket falls under it. Expected
+    kept tokens ≈ budget (md5 buckets are uniform and independent of
+    document length); an exact greedy cut would need a per-stratum global
+    token cumsum — a stratum-sized sort at 10^12 docs for a guarantee the
+    uniform sample already gives within sampling error.
+
+    Plan shape at scale: one partial-agg groupBy for the totals (rows =
+    #strata), broadcast join back, then a narrow filter on the scan.
+
+    Returns kept rows: (doc_id, lang, n_tok).
+    """
+    rate: Column = F.lit(default_budget)
+    for lang, b in sorted(budgets.items()):
+        rate = F.when(F.col(strat_col) == lang, F.lit(b)).otherwise(rate)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strat_col).alias("lang"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
+        rate.cast("bigint").alias("budget"),
+    )
+    totals = base.groupBy("lang").agg(F.sum("n_tok").alias("total_tok"))
+    # integer DIV, not floor(a/b): the FP quotient can land a hair above or
+    # below an integer and floor() then disagrees with exact // cross-engine
+    keep_buckets = F.least(
+        F.lit(denom).cast("bigint"),
+        F.expr(f"(budget * {int(denom)}) DIV total_tok").cast("bigint"),
+    )
+    return (
+        base.join(F.broadcast(totals), "lang")
+        .where(_md5_bucket(F.col("doc_id"), 8, denom) < keep_buckets)
+        .select("doc_id", "lang", "n_tok")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

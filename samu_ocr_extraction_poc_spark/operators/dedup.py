@@ -412,7 +412,7 @@ def keep_canonical(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    use_star: bool = False,
+    use_star: bool = True,
 ) -> DataFrame:
     """APPLY near-dup dedup to the corpus: cluster the candidate pairs
     (connected components) and keep exactly one document per cluster — the
@@ -423,7 +423,10 @@ def keep_canonical(
     Plan shape at scale: the drop-list (clustered non-minima) is tiny
     relative to the corpus — one left_anti join against it; no shuffle of
     the corpus beyond that join (AQE broadcasts the drop side when it
-    fits). Returns the surviving input rows, all columns.
+    fits). The star-contraction clusterer is the default (O(log n) rounds
+    and measured faster wall-clock than min-label's O(diameter) at every
+    sandbox sf; both backends are pinned to agree and share one oracle).
+    Returns the surviving input rows, all columns.
     """
     cc = (connected_components_star if use_star else connected_components)(pairs)
     drop = cc.where(F.col("doc_id") != F.col("component")).select(

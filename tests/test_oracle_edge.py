@@ -31,7 +31,7 @@ DOC_QUERIES = [
     "simhash_near_pairs", "ngram_jaccard_top_pairs", "token_stats",
     "lang_id_heuristic", "bpe_token_counts",
     "repetition_stats", "pack_token_windows", "pack_assignments",
-    "stratified_sample", "sample_documents", "quality_filter",
+    "stratified_sample", "sample_documents", "quality_filter", "budget_sample",
     "boilerplate_strip", "kmv_distinct", "curate_corpus", "dedup_apply",
     "shared_window_pairs", "contamination_check", "chunk_documents",
 ]
