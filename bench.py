@@ -38,6 +38,7 @@ HEADLINE = [
     "pack_token_windows",
     "stratified_sample",
     "budget_sample",
+    "pii_redact",
     "chunk_documents",
     "shared_window_pairs",
     "contamination_check",

@@ -1045,6 +1045,76 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
 """
 
 
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/textfns.py:redact_pii) — the pre-training
+    privacy pass. The synth corpus carries no PII, so the entry injects a
+    deterministic email (doc_id % 3 == 0) or SSN (doc_id % 3 == 1) per
+    document — non-vacuous hits AND untouched docs — and the oracle
+    replays the same injection and the same ordered scrub. Patterns are
+    written in the Java-regex/RE2 common subset so both engines match
+    identically."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" ssn 123-45-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    base = docs.select("doc_id", injected.alias("t"))
+    return base.select(
+        "doc_id",
+        TX.pii_match_count(F.col("t")).alias("n_pii"),
+        TX.redact_pii(F.col("t")).alias("clean_text"),
+    )
+
+
+def _pii_sql() -> str:
+    """DuckDB replay of pii_redact_q, generated from the SAME
+    TX.PII_PATTERNS list (order included) so the two can't drift."""
+    steps = []
+    prev = "t"
+    counts = []
+    for i, (kind, pat) in enumerate(TX.PII_PATTERNS):
+        cur = f"t{i}"
+        steps.append(
+            f"p{i} AS (SELECT doc_id, {', '.join(counts)}{', ' if counts else ''}"
+            f"len(regexp_extract_all({prev}, '{pat}')) AS c{i}, "
+            f"regexp_replace({prev}, '{pat}', '<{kind.upper()}>', 'g') AS {cur} "
+            f"FROM {'pt' if i == 0 else f'p{i - 1}'})"
+        )
+        counts.append(f"c{i}")
+        prev = cur
+    total = " + ".join(counts)
+    joined = ",\n".join(steps)
+    return f"""
+WITH pt AS (SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+       WHEN doc_id % 3 = 1 THEN text || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE text END AS t
+  FROM documents),
+{joined}
+SELECT doc_id, CAST({total} AS BIGINT) AS n_pii, {prev} AS clean_text
+FROM p{len(TX.PII_PATTERNS) - 1}
+"""
+
+
+PII_SQL = _pii_sql()
+
+
 def budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling (operators/corpus.py:budget_sample):
     keep-rates derived from per-language token budgets in pure integer
@@ -1851,6 +1921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_documents": sample_documents_q,
     "quality_filter": quality_filter_q,
     "budget_sample": budget_sample_q,
+    "pii_redact": pii_redact_q,
     "boilerplate_strip": boilerplate_strip_q,
     "kmv_distinct": kmv_distinct_q,
     "curate_corpus": curate_corpus_q,
@@ -1913,6 +1984,7 @@ ORACLE_SQL: dict[str, str] = {
     "sample_documents": SAMPLE_DOCS_SQL,
     "quality_filter": QUALITY_FILTER_SQL,
     "budget_sample": BUDGET_SAMPLE_SQL,
+    "pii_redact": PII_SQL,
     "boilerplate_strip": BOILERPLATE_SQL,
     "kmv_distinct": KMV_SQL,
     "curate_corpus": CURATE_SQL,

@@ -99,6 +99,41 @@ def quality_score(col: Column) -> Column:
     return F.when(F.length(F.trim(col)) == 0, F.lit(0.0)).otherwise(F.round(score, 4))
 
 
+# PII patterns, written to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): character classes + bounded repetition only — no
+# lookarounds, no \b (Unicode word-boundary semantics differ), no
+# backreferences. Order is load-bearing: SSN before PHONE (a 3-2-4 SSN
+# contains no 3-3-4 phone match, but scrubbing phones first could split a
+# string an SSN pattern would have matched).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("phone", r"[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub emails / SSNs / phone numbers, each replaced by its
+    <KIND> tag — the pre-training privacy pass. Patterns apply in
+    PII_PATTERNS order; both engines replace ALL occurrences."""
+    out = col
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_match_count(col: Column) -> Column:
+    """Total PII matches across all patterns (counted on the ORIGINAL
+    text, in the same scrub order semantics: each pattern counts matches
+    in the text as already scrubbed by the patterns before it)."""
+    total = F.lit(0)
+    scrubbed = col
+    for kind, pat in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return total.cast("bigint")
+
+
 def quality_tier(score: Column) -> Column:
     return (
         F.when(score >= 0.66, F.lit("high"))

@@ -839,3 +839,35 @@ def test_semantic_contamination_planted_leak(spark):
     }
     assert 1 in rows and rows[1]["max_cos"] == 1.0
     assert 3 not in rows
+
+
+def test_pii_redaction_semantics(spark):
+    """Redaction patterns: all occurrences scrubbed, SSN wins over phone on
+    3-2-4 groups, phone only matches 3-3-4, counts follow the same ordered
+    scrub, and PII-free text is untouched."""
+    from samu_ocr_extraction_poc_spark.functions.textfns import (
+        pii_match_count,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail a.b+c@x-y.co and d@e.org now"),
+        (2, "ssn 123-45-6789 phone 555-123-4567"),
+        (3, "just 12-34-5678 and 1234-56-7890x"),  # 2nd embeds a valid 3-2-4
+        (4, "no pii at all"),
+        (5, "double 111-22-3333 111-22-3333"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    got = {
+        r["doc_id"]: (r["n"], r["c"])
+        for r in df.select(
+            "doc_id",
+            pii_match_count(F.col("t")).alias("n"),
+            redact_pii(F.col("t")).alias("c"),
+        ).collect()
+    }
+    assert got[1] == (2, "mail <EMAIL> and <EMAIL> now")
+    assert got[2] == (2, "ssn <SSN> phone <PHONE>")
+    assert got[3] == (1, "just 12-34-5678 and 1<SSN>x")
+    assert got[4] == (0, "no pii at all")
+    assert got[5] == (2, "double <SSN> <SSN>")
