@@ -39,6 +39,7 @@ HEADLINE = [
     "stratified_sample",
     "budget_sample",
     "pii_redact",
+    "lm_surprise",
     "chunk_documents",
     "shared_window_pairs",
     "contamination_check",

@@ -1045,6 +1045,30 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
 """
 
 
+def lm_surprise_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scores (operators/corpus.py:
+    unigram_surprise): mean -ln p(token) under the corpus's own unigram
+    LM. Cross-engine FP note: ln is not required to be correctly rounded,
+    but per-token last-ulp differences wash out in the round(4) mean (the
+    same argument every other FP oracle here uses)."""
+    from .operators import corpus as CP
+
+    return CP.unigram_surprise(_t(spark, sf_dir, "documents"))
+
+
+LM_SURPRISE_SQL = """
+WITH ut AS (SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+            FROM documents),
+ulm AS (SELECT tok, count(*) AS cnt FROM ut GROUP BY tok),
+utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ulm)
+SELECT ut.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       round(avg(-ln(ulm.cnt / utot.total)), 4) AS surprise
+FROM ut JOIN ulm USING (tok) CROSS JOIN utot
+GROUP BY ut.doc_id
+"""
+
+
 def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (functions/textfns.py:redact_pii) — the pre-training
     privacy pass. The synth corpus carries no PII, so the entry injects a
@@ -1922,6 +1946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": quality_filter_q,
     "budget_sample": budget_sample_q,
     "pii_redact": pii_redact_q,
+    "lm_surprise": lm_surprise_q,
     "boilerplate_strip": boilerplate_strip_q,
     "kmv_distinct": kmv_distinct_q,
     "curate_corpus": curate_corpus_q,
@@ -1985,6 +2010,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_filter": QUALITY_FILTER_SQL,
     "budget_sample": BUDGET_SAMPLE_SQL,
     "pii_redact": PII_SQL,
+    "lm_surprise": LM_SURPRISE_SQL,
     "boilerplate_strip": BOILERPLATE_SQL,
     "kmv_distinct": KMV_SQL,
     "curate_corpus": CURATE_SQL,

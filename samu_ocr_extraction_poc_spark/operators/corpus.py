@@ -298,6 +298,51 @@ def remove_boilerplate(
     return out
 
 
+def unigram_surprise(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy quality signal (the CCNet/KenLM filter, self-
+    trained): build a unigram LM from the corpus itself (token counts /
+    total), then score every document by its mean token surprisal
+    -ln p(w). Outlier documents (gibberish = high, boilerplate = low)
+    are what a perplexity filter cuts.
+
+    Plan shape at scale: the token explode feeds the LM aggregation and
+    the scoring join — persist it once (the materialized token index; at
+    a real 100 TB run, the written LM table). The LM join keys on the
+    token (narrow string key); corpus totals ride along via a broadcast
+    1-row frame. Per-doc score = one partial-agg groupBy. Result eager so
+    the index cache releases (the pair-operator convention).
+
+    Returns (doc_id, n_tok, surprise) with surprise = round(mean -ln p, 4).
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(normalized(F.col(text_col)))).alias("tok"),
+        )
+        .persist()
+    )
+    lm = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = lm.agg(F.sum("cnt").cast("bigint").alias("total"))
+    scored = (
+        toks.join(lm, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.round(
+                F.avg(-F.log(F.col("cnt") / F.col("total"))), 4
+            ).alias("surprise"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    toks.unpersist()
+    return scored
+
+
 def budget_sample(
     df: DataFrame,
     budgets: dict[str, int],
