@@ -115,6 +115,35 @@ def minhash_signatures(
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
+def row_minhash(
+    text_col: Column, num_hashes: int = 8, k: int = 3
+) -> list[Column]:
+    """The SAME minhash signature as :func:`minhash_signatures`, computed
+    ROW-LOCALLY (array HOFs over the in-row shingle array — array_min of
+    the linear transforms) instead of explode + groupBy-min. Value-identical
+    by construction (same shingles(), same hash family, min over the same
+    set); pinned by a test. This is the streaming form: no aggregation
+    state, so it composes with dropDuplicatesWithinWatermark (streaming
+    aggregations before a stateful dedup are not allowed, and an exploded
+    groupBy would be exactly that).
+
+    Returns the h0..h{n-1} Columns."""
+    xs = F.transform(shingles(text_col, k), shingle_base_hash)
+
+    # NOTE: the per-hash index must be captured by closure, not a lambda
+    # default — F.transform passes the ARRAY INDEX to any two-arg lambda.
+    def _h(i: int) -> Column:
+        return F.array_min(
+            F.transform(
+                xs,
+                lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_PRIME),
+            )
+        ).alias(f"h{i}")
+
+    return [_h(i) for i in range(num_hashes)]
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
 ) -> DataFrame:

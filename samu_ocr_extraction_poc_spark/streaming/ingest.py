@@ -133,6 +133,41 @@ def stream_exact_dedup(
     )
 
 
+def stream_near_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "1 hour",
+    ts_col: str = "ingest_ts",
+    num_hashes: int = 8,
+):
+    """Streaming NEAR-dup dedup: the minhash signature (operators/dedup.py
+    family, computed row-locally via row_minhash — no aggregation state,
+    which is what makes it legal upstream of a stateful dedup) is the
+    dedup key for ``dropDuplicatesWithinWatermark``. Documents whose full
+    num_hashes-signature collides within the watermark horizon collapse to
+    the first arrival — the streaming analog of the batch pairs->clusters
+    pipeline at its highest-precision point (a full-signature match is the
+    strictest LSH band). State is bounded by the watermark, same
+    state-size/recall trade as stream_exact_dedup.
+
+    Returns the streaming DataFrame of surviving documents.
+    """
+    from ..operators.dedup import row_minhash
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long, "
+        f"{ts_col} timestamp"
+    )
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    sig_cols = row_minhash(F.col("text"), num_hashes=num_hashes)
+    return (
+        docs.select("*", *sig_cols)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([f"h{i}" for i in range(num_hashes)])
+        .drop(*[f"h{i}" for i in range(num_hashes)])
+    )
+
+
 def stream_event_metrics(
     spark: SparkSession,
     events: DataFrame | None = None,

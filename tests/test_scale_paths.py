@@ -871,3 +871,74 @@ def test_pii_redaction_semantics(spark):
     assert got[3] == (1, "just 12-34-5678 and 1<SSN>x")
     assert got[4] == (0, "no pii at all")
     assert got[5] == (2, "double <SSN> <SSN>")
+
+
+def test_row_minhash_matches_batch_signatures(spark):
+    """row_minhash (array-HOF, row-local — the streaming form) must equal
+    minhash_signatures (explode + groupBy-min — the batch form) on every
+    synth document: same shingles, same hash family, same minima."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import (
+        minhash_signatures,
+        row_minhash,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+        for r in minhash_signatures(docs).collect()
+    }
+    row = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+        for r in docs.select("doc_id", *row_minhash(F.col("text"))).collect()
+    }
+    assert row == batch
+
+
+def test_stream_near_dedup_watermarked(spark, tmp_path):
+    """Streaming near-dup dedup: a doc differing by ONE appended word
+    shares the full minhash signature with its original (verified against
+    the batch op inside the test) and collapses to the first arrival;
+    genuinely distinct docs all survive."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import minhash_signatures
+    from samu_ocr_extraction_poc_spark.streaming.ingest import stream_near_dedup
+
+    base = (
+        "the fast key order sort table scan merge part window small hash "
+        "scan join order batch stream spark window dup data group query row"
+    )
+    rows = [
+        (1, base, "en", "s1", len(base), "2024-01-01 10:00:00"),
+        (2, base + " alpha", "en", "s2", len(base) + 6, "2024-01-01 10:05:00"),
+        (3, "completely different words entirely here", "en", "s3", 40, "2024-01-01 10:10:00"),
+        (4, base + " bravo", "en", "s4", len(base) + 6, "2024-01-01 10:15:00"),
+        (5, "another unrelated corpus line", "en", "s5", 29, "2024-01-01 10:20:00"),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long, ingest_ts string",
+    ).withColumn("ingest_ts", F.col("ingest_ts").cast("timestamp"))
+    # premise check: 1, 2, 4 really do share the full batch signature
+    sigs = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+        for r in minhash_signatures(docs).collect()
+    }
+    assert sigs[1] == sigs[2] == sigs[4]
+    assert sigs[3] != sigs[1] and sigs[5] != sigs[1]
+
+    d = str(tmp_path / "neardup_stream")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    q = (
+        stream_near_dedup(spark, d)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM neardup_out").collect()}
+    assert 3 in got and 5 in got
+    assert len(got & {1, 2, 4}) == 1  # one survivor of the near-dup family
+    assert len(got) == 3
+    # signature columns are internal — they must not leak into the output
+    assert "h0" not in spark.sql("SELECT * FROM neardup_out").columns
