@@ -142,3 +142,46 @@ def read_text_corpus(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     if fmt == "text":
         return reader.text(path)
     raise ValueError(f"unsupported format: {fmt}")
+
+
+def write_training_shards(
+    docs: DataFrame,
+    location: str,
+    budget: int = 256,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """The training-pipeline SINK: join the corpus with its packing
+    assignment (operators/corpus.py:pack_assignments — doc -> (shard, bin))
+    and write one directory partition per shard, rows sorted by (bin,
+    doc_id) inside each file so a trainer streams bins in order without a
+    read-time sort. repartition(shard) before partitionBy keeps it to one
+    writer task per shard (no small-file explosion: without it every
+    input partition writes a file into every shard directory —
+    tasks x shards files at scale).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.corpus import pack_assignments
+
+    assign = pack_assignments(docs, budget=budget, n_shards=n_shards,
+                              text_col=text_col, id_col=id_col)
+    rows = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")) \
+        .join(assign, "doc_id")
+    (
+        rows.repartition(n_shards, "shard")
+        .sortWithinPartitions("bin", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(location)
+    )
+
+
+def read_training_shard(spark: SparkSession, location: str, shard: int) -> DataFrame:
+    """Read ONE shard partition — the filter is a directory-partition
+    predicate, so the scan prunes to that shard's files (PartitionFilters
+    in the plan, verified by test)."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(location).where(F.col("shard") == shard)

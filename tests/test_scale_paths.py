@@ -942,3 +942,46 @@ def test_stream_near_dedup_watermarked(spark, tmp_path):
     assert len(got) == 3
     # signature columns are internal — they must not leak into the output
     assert "h0" not in spark.sql("SELECT * FROM neardup_out").columns
+
+
+def test_training_shard_write_read_roundtrip(spark, tmp_path):
+    """Sink: every document lands in exactly its assigned (shard, bin),
+    rows inside a shard file are (bin, doc_id)-sorted, one file per shard,
+    and reading one shard prunes the scan to that partition."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import pack_assignments
+    from samu_ocr_extraction_poc_spark.sources.readers import (
+        read_training_shard,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    loc = str(tmp_path / "shards")
+    write_training_shards(docs, loc, budget=256, n_shards=8)
+
+    expect = {
+        r["doc_id"]: (r["shard"], r["bin"])
+        for r in pack_assignments(docs, budget=256, n_shards=8).collect()
+    }
+    back = spark.read.parquet(loc)
+    got = {r["doc_id"]: (r["shard"], r["bin"]) for r in back.collect()}
+    assert got == expect
+
+    one = read_training_shard(spark, loc, shard=3)
+    rows = one.collect()
+    assert rows and all(r["shard"] == 3 for r in rows)
+    # partition pruning reaches the scan
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan
+    # one data file per shard directory; rows sorted by (bin, doc_id)
+    import glob
+    import os
+
+    for d in glob.glob(os.path.join(loc, "shard=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    import pyarrow.parquet as pq
+
+    f3 = glob.glob(os.path.join(loc, "shard=3", "*.parquet"))[0]
+    t = pq.read_table(f3).to_pydict()
+    order = list(zip(t["bin"], t["doc_id"]))
+    assert order == sorted(order)
