@@ -1163,7 +1163,9 @@ bt AS (SELECT lang, sum(n_tok) AS total_tok FROM bs GROUP BY lang)
 SELECT bs.doc_id, bs.lang, bs.n_tok
 FROM bs JOIN bt USING (lang)
 WHERE ('0x' || substr(md5(CAST(bs.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
-      < least(1000, (bs.budget * 1000) // bt.total_tok)
+      < (CASE WHEN bt.total_tok > 0
+              THEN least(1000, (bs.budget * 1000) // bt.total_tok)
+              ELSE 0 END)
 """
 
 

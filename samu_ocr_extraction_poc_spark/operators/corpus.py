@@ -379,11 +379,16 @@ def budget_sample(
     )
     totals = base.groupBy("lang").agg(F.sum("n_tok").alias("total_tok"))
     # integer DIV, not floor(a/b): the FP quotient can land a hair above or
-    # below an integer and floor() then disagrees with exact // cross-engine
-    keep_buckets = F.least(
-        F.lit(denom).cast("bigint"),
-        F.expr(f"(budget * {int(denom)}) DIV total_tok").cast("bigint"),
-    )
+    # below an integer and floor() then disagrees with exact // cross-engine.
+    # A stratum of only empty docs has total_tok = 0 — keep nothing rather
+    # than let ANSI mode abort the job on the division.
+    keep_buckets = F.when(
+        F.col("total_tok") > 0,
+        F.least(
+            F.lit(denom).cast("bigint"),
+            F.expr(f"(budget * {int(denom)}) DIV total_tok").cast("bigint"),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
     return (
         base.join(F.broadcast(totals), "lang")
         .where(_md5_bucket(F.col("doc_id"), 8, denom) < keep_buckets)

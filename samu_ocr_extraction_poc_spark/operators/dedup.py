@@ -153,8 +153,10 @@ def lsh_candidate_pairs(
     # the signature frame feeds both sides of the self-join; persist AND
     # materialize eagerly — a lazy persist lets both join sides race to fill
     # the cache and compute the shingle pipeline twice (at scale: write the
-    # signature table)
-    signatures = signatures.persist()
+    # signature table). Persist a PRIVATE projection, not the caller's
+    # frame: persisting/unpersisting the argument itself would silently
+    # destroy (or fight with) any cache the caller set up on it.
+    signatures = signatures.select("*").persist()
     signatures.count()
     n_bands = num_hashes // rows_per_band
     bands = F.array(

@@ -170,8 +170,12 @@ def write_training_shards(
     rows = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")) \
         .join(assign, "doc_id")
     (
+        # leading 'shard' satisfies the writer's required ordering on the
+        # partition column (otherwise V1 inserts a second full sort by
+        # shard on top, and the per-file (bin, doc_id) order would survive
+        # only by sort-stability accident, not contract)
         rows.repartition(n_shards, "shard")
-        .sortWithinPartitions("bin", "doc_id")
+        .sortWithinPartitions("shard", "bin", "doc_id")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(location)

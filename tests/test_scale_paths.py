@@ -743,10 +743,10 @@ def test_keep_canonical_both_variants_agree(spark):
     expect = {1, 10, 20, 99}  # component minima + the isolated doc 99
     kept = {r["doc_id"] for r in keep_canonical(docs, pairs).collect()}
     assert kept == expect
-    kept_star = {
-        r["doc_id"] for r in keep_canonical(docs, pairs, use_star=True).collect()
+    kept_minlabel = {
+        r["doc_id"] for r in keep_canonical(docs, pairs, use_star=False).collect()
     }
-    assert kept_star == expect
+    assert kept_minlabel == expect
     # all input columns survive
     assert keep_canonical(docs, pairs).columns == ["doc_id", "text"]
 
@@ -985,3 +985,17 @@ def test_training_shard_write_read_roundtrip(spark, tmp_path):
     t = pq.read_table(f3).to_pydict()
     order = list(zip(t["bin"], t["doc_id"]))
     assert order == sorted(order)
+
+
+def test_budget_sample_zero_token_stratum(spark):
+    """A stratum whose documents are all empty must simply keep nothing —
+    not abort the job on an ANSI division by its zero token total."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import budget_sample
+
+    docs = spark.createDataFrame(
+        [(1, "some real text here", "en"), (2, "", "xx"), (3, "   ", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    rows = budget_sample(docs, budgets={"en": 100}, default_budget=100).collect()
+    assert all(r["lang"] != "xx" for r in rows)
+    assert any(r["lang"] == "en" for r in rows)
