@@ -108,19 +108,15 @@ def _dedup_shuffle_job(spark, corpus_dir: str) -> int:
     signature-identical by construction, so banded self-joins would be
     quadratic in the replication factor rather than representative.
 
-    Runs on a deterministic 1/24 md5 slice of the corpus (~10k docs at
-    REPLICATE=48): shingling is interpreted-HOF work at ~1.7 ms/doc on one
-    core, so the full corpus would cost ~7 min per local[4] round; the
-    slice keeps the job ~20x the per-session fixed costs (the signal
-    needed) within the bench time budget."""
+    Runs on the FULL 240k-doc corpus: ~11-18 s at local[4] since the
+    shingle let-binding fix (textfns.let_bound) — before it, the
+    per-element re-tokenization made this ~7 min per local[4] round and
+    forced a 1/24 slice."""
     from pyspark.sql import functions as F
 
     from samu_ocr_extraction_poc_spark.operators.dedup import minhash_signatures
 
-    docs = spark.read.parquet(corpus_dir).where(
-        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 4), 16, 10).cast("bigint") % 24
-        == 0
-    )
+    docs = spark.read.parquet(corpus_dir)
     text = docs.select(
         "doc_id",
         F.concat_ws(

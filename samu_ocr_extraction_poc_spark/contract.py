@@ -308,17 +308,29 @@ def page_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text-extractor.ts:287-319). Pure array HOFs — zero shuffle before the
     final explode."""
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.trim("text"), " ")
-    n_lines = F.ceil(F.size(words) / 8.0).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(1), n_lines),
-        lambda i: F.array_join(F.slice(words, (i - 1) * 8 + 1, 8), " "),
-    )
-    n_pages = F.ceil(F.size(lines) / 5.0).cast("int")
-    pages = F.transform(
-        F.sequence(F.lit(1), n_pages),
-        lambda p: F.concat(F.lit(NL), F.array_join(F.slice(lines, (p - 1) * 5 + 1, 5), NL)),
-    )
+
+    # both stages let-bound (textfns.let_bound): `lines` referencing the
+    # split per element is O(n^2)/row, and `pages` referencing the lines
+    # transform per element stacks to O(n^3)
+    def to_pages(words):
+        n_lines = F.ceil(F.size(words) / 8.0).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.array_join(F.slice(words, (i - 1) * 8 + 1, 8), " "),
+        )
+
+        def lines_to_pages(ls):
+            n_pages = F.ceil(F.size(ls) / 5.0).cast("int")
+            return F.transform(
+                F.sequence(F.lit(1), n_pages),
+                lambda p: F.concat(
+                    F.lit(NL), F.array_join(F.slice(ls, (p - 1) * 5 + 1, 5), NL)
+                ),
+            )
+
+        return TX.let_bound(lines, lines_to_pages)
+
+    pages = TX.let_bound(F.split(F.trim("text"), " "), to_pages)
     return docs.select("doc_id", F.posexplode(pages).alias("pos", "page_text")).select(
         "doc_id", (F.col("pos") + 1).cast("int").alias("page"), "page_text"
     )

@@ -27,6 +27,18 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), " ")
 
 
+def let_bound(col: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``col`` ONCE per row
+    and hand it to ``body`` as a HOF lambda variable (single-element-array
+    transform + element_at). A HOF lambda that references an outer
+    COMPUTED expression re-evaluates that expression on EVERY element
+    access — per-element O(n) work turns the whole expression O(n^2) per
+    row. Measured on shingling: 15-18 s -> 0.4 s for the same 500k
+    shingles (the tokenizer re-ran per shingle per word). Values are
+    bit-identical (pinned by the oracle suite)."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def token_count(col: Column) -> Column:
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
 
@@ -70,33 +82,42 @@ def marker_count(toks: Column, words: list[str]) -> Column:
 def lang_id(col: Column) -> Column:
     """Stopword-marker language ID: argmax of per-language marker counts,
     ties broken by language-code order; no markers -> 'und'."""
-    toks = tokens(col)
-    pairs = sorted(LANG_MARKERS.items())  # deterministic tie-break order
-    counts = {lang: marker_count(toks, words) for lang, words in pairs}
-    best = None
-    best_count = None
-    for lang, _ in pairs:
-        if best is None:
-            best, best_count = F.lit(lang), counts[lang]
-        else:
-            cond = counts[lang] > best_count
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_count = F.when(cond, counts[lang]).otherwise(best_count)
-    return F.when(best_count > 0, best).otherwise(F.lit("und"))
+    def body(toks: Column) -> Column:
+        pairs = sorted(LANG_MARKERS.items())  # deterministic tie-break order
+        counts = {lang: marker_count(toks, words) for lang, words in pairs}
+        best = None
+        best_count = None
+        for lang, _ in pairs:
+            if best is None:
+                best, best_count = F.lit(lang), counts[lang]
+            else:
+                cond = counts[lang] > best_count
+                best = F.when(cond, F.lit(lang)).otherwise(best)
+                best_count = F.when(cond, counts[lang]).otherwise(best_count)
+        return F.when(best_count > 0, best).otherwise(F.lit("und"))
+
+    # tokenize once per row: the four marker counts each re-evaluate a
+    # directly-referenced tokens() expression
+    return let_bound(tokens(col), body)
 
 
 def quality_score(col: Column) -> Column:
     """Composite quality score in [0,1]:
     0.4*distinct-token ratio + 0.4*min(1, stopword_ratio*5) + 0.2*length gate
     (>=20 tokens). Rounded to 4 decimals for cross-engine equality."""
-    toks = tokens(col)
-    n = F.size(toks).cast("double")
-    distinct_ratio = F.size(F.array_distinct(toks)) / n
-    stop_ratio = marker_count(toks, STOPWORDS_EN) / n
-    len_gate = F.when(n >= 20, F.lit(1.0)).otherwise(n / F.lit(20.0))
-    score = 0.4 * distinct_ratio + 0.4 * F.least(F.lit(1.0), stop_ratio * 5) + 0.2 * len_gate
-    # empty text scores 0.0 (consistent with token_count's 0)
-    return F.when(F.length(F.trim(col)) == 0, F.lit(0.0)).otherwise(F.round(score, 4))
+    def body(toks: Column) -> Column:
+        n = F.size(toks).cast("double")
+        distinct_ratio = F.size(F.array_distinct(toks)) / n
+        stop_ratio = marker_count(toks, STOPWORDS_EN) / n
+        len_gate = F.when(n >= 20, F.lit(1.0)).otherwise(n / F.lit(20.0))
+        score = 0.4 * distinct_ratio + 0.4 * F.least(F.lit(1.0), stop_ratio * 5) + 0.2 * len_gate
+        return F.round(score, 4)
+
+    # empty text scores 0.0 (consistent with token_count's 0); tokenize
+    # once per row (three component ratios reference the token array)
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0.0)).otherwise(
+        let_bound(tokens(col), body)
+    )
 
 
 # PII patterns, written to mean the same thing in Java regex (Spark) and

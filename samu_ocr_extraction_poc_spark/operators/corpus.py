@@ -22,20 +22,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.textfns import normalized, token_count, token_md5_long, tokens
+from ..functions.textfns import let_bound, normalized, token_count, token_md5_long, tokens
 
 
 def _kgrams(text_col: Column, k: int) -> Column:
     """Word k-grams of the normalized text WITH multiplicity (dedup's
-    shingles() is distinct — multiplicity is the whole point here)."""
-    toks = tokens(normalized(text_col))
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-    )
-    # sequence(1, n-k+1) would run DESCENDING for n < k — guard to empty
-    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+    shingles() is distinct — multiplicity is the whole point here).
+    Token array let-bound (textfns.let_bound) — a direct reference inside
+    the per-gram lambda re-tokenizes per element access, O(n^2)/row."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+        # sequence(1, n-k+1) would run DESCENDING for n < k — guard to empty
+        return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+    return let_bound(tokens(normalized(text_col)), body)
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -245,13 +252,17 @@ def remove_boilerplate(
     (doc_id, n_segments, n_removed, clean_text) — a fully-removed or empty
     document keeps its row with clean_text = ''.
     """
-    toks = tokens(F.col(text_col))
     n = token_count(F.col(text_col))
     n_segs = F.ceil(n / F.lit(float(seg_tokens))).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(1), n_segs),
-        lambda s: F.array_join(
-            F.slice(toks, (s - 1) * seg_tokens + 1, seg_tokens), " "
+    # token array let-bound: slice(toks, ...) inside the per-segment lambda
+    # re-tokenizes per element otherwise (O(n^2)/row)
+    segs = let_bound(
+        tokens(F.col(text_col)),
+        lambda toks: F.transform(
+            F.sequence(F.lit(1), n_segs),
+            lambda s: F.array_join(
+                F.slice(toks, (s - 1) * seg_tokens + 1, seg_tokens), " "
+            ),
         ),
     )
     exploded = (
@@ -423,9 +434,14 @@ def chunk_documents(
         F.lit(1)
         + F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / float(stride)).cast("int")
     )
-    chunks = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda c: F.slice(toks, (c - 1) * stride + 1, chunk_tokens),
+    # token array let-bound: slice(toks, ...) inside the per-chunk lambda
+    # re-tokenizes per element otherwise (O(n^2)/row)
+    chunks = let_bound(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda c: F.slice(t, (c - 1) * stride + 1, chunk_tokens),
+        ),
     )
     out = df.select(
         F.col(id_col).alias("doc_id"),

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.textfns import normalized, tokens
+from ..functions.textfns import let_bound, normalized, tokens
 
 SIMHASH_BITS = 32
 
@@ -49,24 +49,28 @@ def keep_first(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
 def shingles(text_col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of the normalized text (array column).
 
-    Built with element_at (O(1) array index) rather than slice-per-shingle:
-    slice copies k elements per position, turning shingling O(n*k) with a
-    per-copy allocation; element_at keeps it allocation-light. Values are
-    identical (oracle unaffected)."""
-    toks = tokens(normalized(text_col))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    # try_element_at: null past the end (docs shorter than k tokens) —
-    # concat_ws skips nulls, matching the oracle's clamped list slice; plain
-    # element_at would THROW under ANSI mode (Spark 4 default)
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.try_element_at(toks, i + j) for j in range(k)]
-            ),
+    Built with element_at (O(1) array index) rather than slice-per-shingle,
+    and the token array is LET-BOUND (textfns.let_bound): referencing the
+    tokenizer expression directly inside the per-shingle lambda re-runs
+    split+regexp on every element access — measured 35-50x slower for
+    identical values."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        # try_element_at: null past the end (docs shorter than k tokens) —
+        # concat_ws skips nulls, matching the oracle's clamped list slice;
+        # plain element_at would THROW under ANSI mode (Spark 4 default)
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.try_element_at(toks, i + j) for j in range(k)]
+                ),
+            )
         )
-    )
+
+    return let_bound(tokens(normalized(text_col)), body)
 
 
 def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:

@@ -448,13 +448,21 @@ def quantize_embeddings(
 
     Returns (vec_id, qvec array<int>, scale double).
     """
+    from ..functions.textfns import let_bound
+
     v = F.col(vec_col)
     scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    q = F.transform(
-        v,
-        lambda x: F.when(scale > 0,
-            F.floor(x.cast("double") / scale * F.lit(float(bits_range)) + F.lit(0.5))
-        ).otherwise(F.lit(0)).cast("int"),
+    # scale let-bound: referencing the array_max expression inside the
+    # per-component lambda re-reduces the vector per element (O(d^2)/row)
+    q = let_bound(
+        scale,
+        lambda s: F.transform(
+            v,
+            lambda x: F.when(
+                s > 0,
+                F.floor(x.cast("double") / s * F.lit(float(bits_range)) + F.lit(0.5)),
+            ).otherwise(F.lit(0)).cast("int"),
+        ),
     )
     return corpus.select(
         F.col(id_col).alias("vec_id"), q.alias("qvec"), scale.cast("double").alias("scale")

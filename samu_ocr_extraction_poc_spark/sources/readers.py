@@ -87,39 +87,45 @@ def spans_from_plain_text(
     """
     from pyspark.sql import functions as F
 
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_lines = F.ceil(F.size(words) / float(words_per_line)).cast("int")
-    line_span = lambda i: F.struct(  # noqa: E731
-        F.lit("line").alias("kind"),
-        F.array_join(
-            F.slice(words, (i - 1) * words_per_line + 1, words_per_line), " "
-        ).alias("text"),
-        F.lit(None).cast("string").alias("media_ref"),
-        F.lit(None).cast("int").alias("offset"),  # filled below
-    )
+    from ..functions.textfns import let_bound
+
     page_break = F.struct(
         F.lit("page_break").alias("kind"),
         F.lit("").alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
         F.lit(None).cast("int").alias("offset"),
     )
-    # line i, plus a page_break after every lines_per_page-th line
-    per_line = F.transform(
-        F.sequence(F.lit(1), n_lines),
-        lambda i: F.when(
-            i % lines_per_page == 0, F.array(line_span(i), page_break)
-        ).otherwise(F.array(line_span(i))),
-    )
-    flat = F.flatten(per_line)
-    spans = F.transform(
-        flat,
-        lambda s, idx: F.struct(
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-            idx.cast("int").alias("offset"),
-        ),
-    )
+
+    # word array let-bound (textfns.let_bound): line_span references it
+    # inside the per-line lambda, which would re-split the text per line
+    def build(words):
+        n_lines = F.ceil(F.size(words) / float(words_per_line)).cast("int")
+        line_span = lambda i: F.struct(  # noqa: E731
+            F.lit("line").alias("kind"),
+            F.array_join(
+                F.slice(words, (i - 1) * words_per_line + 1, words_per_line), " "
+            ).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(None).cast("int").alias("offset"),  # filled below
+        )
+        # line i, plus a page_break after every lines_per_page-th line
+        per_line = F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.when(
+                i % lines_per_page == 0, F.array(line_span(i), page_break)
+            ).otherwise(F.array(line_span(i))),
+        )
+        return F.transform(
+            F.flatten(per_line),
+            lambda s, idx: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                idx.cast("int").alias("offset"),
+            ),
+        )
+
+    spans = let_bound(F.split(F.trim(F.col(text_col)), r"\s+"), build)
     out = df.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.when(F.length(F.trim(F.col(text_col))) > 0, spans).otherwise(
