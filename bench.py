@@ -52,6 +52,7 @@ HEADLINE = [
     "quality_filter",
     "boilerplate_strip",
     "kmv_distinct",
+    "kmv_overlap",
     "curate_corpus",
     "embed_quantized_topk",
     "embed_contamination",

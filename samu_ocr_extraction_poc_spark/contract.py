@@ -1002,6 +1002,48 @@ FROM km
 """
 
 
+def kmv_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise language vocabulary overlap from MERGED KMV sketches
+    (operators/sketch.py:kmv_group_overlap): per-pair Jaccard + union-size
+    estimates computed from the per-group k-minimum sets alone — the
+    mergeability property that makes sketches matter at corpus scale. The
+    oracle replays the same sketch sets and merge arithmetic."""
+    from .operators import sketch as SK
+
+    return SK.kmv_group_overlap(_t(spark, sf_dir, "documents"), k=64, ngram=2)
+
+
+KMV_OVERLAP_SQL = """
+WITH knorm AS (SELECT lang, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+ktoks AS (SELECT lang, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                              i -> array_to_string(w[i:i+1], ' '))) AS tok
+          FROM knorm),
+kh AS (SELECT DISTINCT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM ktoks),
+kr AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM kh),
+ks AS (SELECT lang, h FROM kr WHERE rn <= 64),
+gs AS (SELECT DISTINCT lang FROM ks),
+prs AS (SELECT a.lang AS ga, b.lang AS gb FROM gs a, gs b WHERE a.lang < b.lang),
+pu AS (SELECT DISTINCT ga, gb, h FROM (
+        SELECT prs.ga, prs.gb, ks.h FROM prs JOIN ks ON ks.lang = prs.ga
+        UNION ALL
+        SELECT prs.ga, prs.gb, ks.h FROM prs JOIN ks ON ks.lang = prs.gb)),
+ku AS (SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM pu),
+kj AS (SELECT ku.ga, ku.gb, ku.h,
+              (ka.h IS NOT NULL AND kb.h IS NOT NULL) AS in_both
+       FROM ku LEFT JOIN ks ka ON ka.lang = ku.ga AND ka.h = ku.h
+               LEFT JOIN ks kb ON kb.lang = ku.gb AND kb.h = ku.h
+       WHERE ku.rn <= 64)
+SELECT ga AS lang_a, gb AS lang_b,
+       CAST(count(*) AS BIGINT) AS k_used,
+       round(CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS BIGINT), 4) AS jaccard_est,
+       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+            ELSE round((count(*) - 1) * 1152921504606846976.0 / max(h), 2)
+       END AS union_est
+FROM kj GROUP BY ga, gb
+"""
+
+
 def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation: the intersection of three independently-
     computed gates — the Gopher quality gate (quality_filter), the near-dup
@@ -1963,6 +2005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_surprise": lm_surprise_q,
     "boilerplate_strip": boilerplate_strip_q,
     "kmv_distinct": kmv_distinct_q,
+    "kmv_overlap": kmv_overlap_q,
     "curate_corpus": curate_corpus_q,
     "bm25_search": bm25_search,
     "embed_topk_cosine": embed_topk_cosine,
@@ -2027,6 +2070,7 @@ ORACLE_SQL: dict[str, str] = {
     "lm_surprise": LM_SURPRISE_SQL,
     "boilerplate_strip": BOILERPLATE_SQL,
     "kmv_distinct": KMV_SQL,
+    "kmv_overlap": KMV_OVERLAP_SQL,
     "curate_corpus": CURATE_SQL,
     "bm25_search": BM25_SQL,
     "embed_topk_cosine": EMBED_TOPK_SQL,

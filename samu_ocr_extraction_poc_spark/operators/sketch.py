@@ -27,6 +27,41 @@ from .corpus import _kgrams
 _HASH_DOMAIN = float(1 << 60)
 
 
+def _group_sketch_sets(
+    df: DataFrame,
+    k: int,
+    ngram: int,
+    n_sub: int,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(grp, h) rows: each group's k smallest distinct n-gram hashes —
+    the KMV sketch SET (not just the k-th minimum), which is what makes
+    the sketch mergeable (see kmv_group_overlap). Hierarchical exact
+    min-k as described in kmv_distinct_tokens."""
+    hashed = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(_kgrams(F.col(text_col), ngram)).alias("tok"),
+        )
+        .select("grp", token_md5_long(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    sub = hashed.withColumn("sub", F.col("h") % n_sub)
+    w1 = Window.partitionBy("grp", "sub").orderBy("h")
+    cand = (
+        sub.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .drop("rn", "sub")
+    )
+    w2 = Window.partitionBy("grp").orderBy("h")
+    return (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def kmv_distinct_tokens(
     df: DataFrame,
     k: int = 64,
@@ -51,23 +86,7 @@ def kmv_distinct_tokens(
     Groups with fewer than k distinct n-grams get their exact count.
     Returns (group_col, n_mins, distinct_est) — n_mins = min(k, exact D).
     """
-    hashed = (
-        df.select(
-            F.col(group_col).alias("grp"),
-            F.explode(_kgrams(F.col(text_col), ngram)).alias("tok"),
-        )
-        .select("grp", token_md5_long(F.col("tok")).alias("h"))
-        .distinct()
-    )
-    sub = hashed.withColumn("sub", F.col("h") % n_sub)
-    w1 = Window.partitionBy("grp", "sub").orderBy("h")
-    cand = (
-        sub.withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") <= k)
-        .drop("rn", "sub")
-    )
-    w2 = Window.partitionBy("grp").orderBy("h")
-    mink = cand.withColumn("rn", F.row_number().over(w2)).where(F.col("rn") <= k)
+    mink = _group_sketch_sets(df, k, ngram, n_sub, group_col, text_col)
     est = mink.groupBy("grp").agg(
         F.count("*").cast("bigint").alias("n_mins"), F.max("h").alias("kth")
     )
@@ -80,3 +99,79 @@ def kmv_distinct_tokens(
         )
         .alias("distinct_est"),
     )
+
+
+def kmv_group_overlap(
+    df: DataFrame,
+    k: int = 64,
+    ngram: int = 2,
+    n_sub: int = 64,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise group overlap from MERGED KMV sketches — the property that
+    makes a sketch worth having at 100 TB: each group's k-minimum set is
+    computed ONCE from its own data, and any pair's union/Jaccard estimate
+    then comes from the two k-row sketches alone, never re-reading the
+    corpus (Beyer et al., SIGMOD 2007: kmin_k(A∪B) ⊆ kmin_k(A) ∪
+    kmin_k(B), so the merge is exact on sketch data).
+
+    For each group pair a < b: K = the k smallest of the two sketch sets'
+    union (k' = |K| when fewer), intersection fraction
+    |{h ∈ K : h ∈ sketch(A) ∩ sketch(B)}| / k' estimates Jaccard, and
+    the k'-th minimum of the union estimates |A ∪ B| exactly as in
+    kmv_distinct_tokens. Everything after the per-group sketch is
+    O(#pairs · k) — window partitions are ≤ 2k rows by construction.
+
+    Returns (lang_a, lang_b, k_used, jaccard_est, union_est).
+    """
+    mins = _group_sketch_sets(df, k, ngram, n_sub, group_col, text_col).persist()
+    groups = mins.select(F.col("grp").alias("ga")).distinct()
+    pairs = (
+        groups.join(mins.select(F.col("grp").alias("gb")).distinct())
+        .where(F.col("ga") < F.col("gb"))
+    )
+    pu = (
+        pairs.join(mins.withColumnRenamed("grp", "ga"), "ga")
+        .select("ga", "gb", "h")
+        .union(
+            pairs.join(mins.withColumnRenamed("grp", "gb"), "gb")
+            .select("ga", "gb", "h")
+        )
+        .dropDuplicates(["ga", "gb", "h"])
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    ku = pu.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    ina = mins.select(F.col("grp").alias("ga"), "h", F.lit(1).alias("in_a"))
+    inb = mins.select(F.col("grp").alias("gb"), "h", F.lit(1).alias("in_b"))
+    j = ku.join(ina, ["ga", "h"], "left").join(inb, ["gb", "h"], "left")
+    out = (
+        j.groupBy("ga", "gb")
+        .agg(
+            F.count("*").cast("bigint").alias("k_used"),
+            F.sum(
+                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("n_both"),
+            F.max("h").alias("kth"),
+        )
+        .select(
+            F.col("ga").alias("lang_a"),
+            F.col("gb").alias("lang_b"),
+            "k_used",
+            F.round(F.col("n_both") / F.col("k_used"), 4).alias("jaccard_est"),
+            F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+            .otherwise(
+                F.round(
+                    (F.col("k_used") - 1).cast("double")
+                    * F.lit(_HASH_DOMAIN)
+                    / F.col("kth"),
+                    2,
+                )
+            )
+            .alias("union_est"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mins.unpersist()
+    return out

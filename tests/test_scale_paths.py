@@ -999,3 +999,33 @@ def test_budget_sample_zero_token_stratum(spark):
     rows = budget_sample(docs, budgets={"en": 100}, default_budget=100).collect()
     assert all(r["lang"] != "xx" for r in rows)
     assert any(r["lang"] == "en" for r in rows)
+
+
+def test_kmv_overlap_tracks_exact_jaccard(spark):
+    """Merged-sketch pairwise estimates track the exact bigram Jaccard and
+    union sizes on the synth corpus (k=64 -> ~12% standard error; assert a
+    generous 0.2 absolute / 25% relative band)."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import _kgrams
+    from samu_ocr_extraction_poc_spark.operators.sketch import kmv_group_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sets = {
+        lang: set(rows)
+        for lang, rows in (
+            (r["lang"], r["gs"])
+            for r in docs.select(
+                "lang", F.explode(_kgrams(F.col("text"), 2)).alias("g")
+            )
+            .groupBy("lang")
+            .agg(F.collect_set("g").alias("gs"))
+            .collect()
+        )
+    }
+    est = kmv_group_overlap(docs, k=64).collect()
+    assert len(est) == len(sets) * (len(sets) - 1) // 2
+    for r in est:
+        a, b = sets[r["lang_a"]], sets[r["lang_b"]]
+        exact_j = len(a & b) / len(a | b)
+        exact_u = len(a | b)
+        assert abs(r["jaccard_est"] - exact_j) < 0.2, (r, exact_j)
+        assert abs(r["union_est"] - exact_u) / exact_u < 0.25, (r, exact_u)
