@@ -152,7 +152,7 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
         for name in HEADLINE:
             # second pass only where min-of-2 can matter: sub-half-second
             # queries are at the noise floor already, and the suite must
-            # fit the bench time budget at 31 queries
+            # fit the bench time budget at 32 queries
             if pass_no == 1 and samples[name][0] < 0.5:
                 continue
             t0 = time.perf_counter()
@@ -199,7 +199,7 @@ def run_scaling() -> dict:
         # smaller configs just sample the noise differently. 4/16 with a
         # doubled corpus (REPLICATE=48) measured best.
         lo_cores, hi_cores = 4, 16
-        # 4 rounds since round 3 (was 5): the suite grew to 31 queries plus
+        # 4 rounds since round 3 (was 5): the suite grew to 32 queries plus
         # a shuffle-path scaling job, and total bench time must stay well
         # under any driver timeout; rounds-2-5 history shows the best round
         # lands early on quiet passes.
