@@ -1029,3 +1029,62 @@ def test_kmv_overlap_tracks_exact_jaccard(spark):
         exact_u = len(a | b)
         assert abs(r["jaccard_est"] - exact_j) < 0.2, (r, exact_j)
         assert abs(r["union_est"] - exact_u) / exact_u < 0.25, (r, exact_u)
+
+
+def test_shingles_and_kgrams_match_python_reference(spark):
+    """The let-bound shingle/k-gram rewrites must stay value-identical to
+    the plain semantics on a diverse text battery (unicode, metachars,
+    empties, repeats, double spaces) — guards future HOF refactors beyond
+    what the fixed-corpus oracles sample."""
+    import re as _re
+
+    from samu_ocr_extraction_poc_spark.operators.corpus import _kgrams
+    from samu_ocr_extraction_poc_spark.operators.dedup import shingles
+
+    texts = [
+        "", " ", "one", "a  b", "a b c", "a b c d e",
+        "the the the the", "café naïve 北京 résumé deux",
+        "$1,234.50 (50%) [x] {y} a.b*c+d?", "tab\there and  doubles",
+        "x " * 40, "repeat word repeat word repeat word",
+        "0 1 2 3 4 5 6 7 8 9 10 11 12",
+    ] + [f"w{i} w{(i*7)%5} w{(i*3)%4} common tail words" for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def norm_toks(s):
+        return _re.sub(r"[^a-z0-9]+", " ", s.lower()).strip().split(" ")
+
+    def ref_shingles(s, k=3):
+        toks = norm_toks(s)
+        n = len(toks)
+        out = []
+        for i in range(1, max(n - (k - 1), 1) + 1):
+            parts = [toks[i + j - 1] for j in range(k) if i + j - 1 < n]
+            out.append(" ".join(parts))
+        seen = []
+        for x in out:
+            if x not in seen:
+                seen.append(x)
+        return seen
+
+    def ref_kgrams(s, k):
+        toks = norm_toks(s)
+        n = len(toks)
+        if n < k:
+            return []
+        return [" ".join(toks[i : i + k]) for i in range(n - k + 1)]
+
+    got = {
+        r["doc_id"]: (list(r["sh"]), list(r["g2"]), list(r["g3"]))
+        for r in df.select(
+            "doc_id",
+            shingles(F.col("text")).alias("sh"),
+            _kgrams(F.col("text"), 2).alias("g2"),
+            _kgrams(F.col("text"), 3).alias("g3"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i][0] == ref_shingles(t), (i, t, got[i][0], ref_shingles(t))
+        assert got[i][1] == ref_kgrams(t, 2), (i, t)
+        assert got[i][2] == ref_kgrams(t, 3), (i, t)
