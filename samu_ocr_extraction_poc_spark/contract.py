@@ -1123,6 +1123,30 @@ GROUP BY ut.doc_id
 """
 
 
+def lm_surprise2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal (operators/corpus.py:unigram_surprise with
+    ngram=2): the more-context variant of lm_surprise — what a KenLM-style
+    filter adds over unigram scoring; no smoothing needed because the LM
+    is self-trained (every scored bigram is in-vocabulary)."""
+    from .operators import corpus as CP
+
+    return CP.unigram_surprise(_t(spark, sf_dir, "documents"), ngram=2)
+
+
+LM_SURPRISE2_SQL = """
+WITH unorm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+ut AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                             i -> array_to_string(w[i:i+1], ' '))) AS tok
+       FROM unorm),
+ulm AS (SELECT tok, count(*) AS cnt FROM ut GROUP BY tok),
+utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ulm)
+SELECT ut.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       round(avg(-ln(ulm.cnt / utot.total)), 4) AS surprise
+FROM ut JOIN ulm USING (tok) CROSS JOIN utot
+GROUP BY ut.doc_id
+"""
+
+
 def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (functions/textfns.py:redact_pii) — the pre-training
     privacy pass. The synth corpus carries no PII, so the entry injects a
@@ -2003,6 +2027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "budget_sample": budget_sample_q,
     "pii_redact": pii_redact_q,
     "lm_surprise": lm_surprise_q,
+    "lm_surprise_bigram": lm_surprise2_q,
     "boilerplate_strip": boilerplate_strip_q,
     "kmv_distinct": kmv_distinct_q,
     "kmv_overlap": kmv_overlap_q,
@@ -2068,6 +2093,7 @@ ORACLE_SQL: dict[str, str] = {
     "budget_sample": BUDGET_SAMPLE_SQL,
     "pii_redact": PII_SQL,
     "lm_surprise": LM_SURPRISE_SQL,
+    "lm_surprise_bigram": LM_SURPRISE2_SQL,
     "boilerplate_strip": BOILERPLATE_SQL,
     "kmv_distinct": KMV_SQL,
     "kmv_overlap": KMV_OVERLAP_SQL,

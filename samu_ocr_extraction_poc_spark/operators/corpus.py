@@ -313,29 +313,33 @@ def unigram_surprise(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
     """Perplexity-proxy quality signal (the CCNet/KenLM filter, self-
-    trained): build a unigram LM from the corpus itself (token counts /
-    total), then score every document by its mean token surprisal
-    -ln p(w). Outlier documents (gibberish = high, boilerplate = low)
-    are what a perplexity filter cuts.
+    trained): build an n-gram LM from the corpus itself (unit counts /
+    total), then score every document by its mean unit surprisal
+    -ln p(u). Outlier documents (gibberish = high, boilerplate = low)
+    are what a perplexity filter cuts. ``ngram`` > 1 scores word n-grams
+    (more context, sharper outliers — bigrams approximate what a real
+    KenLM adds over unigrams); since the LM is trained on the same corpus
+    it scores, every unit is in-vocabulary and no smoothing is needed.
+    Documents too short to form one n-gram produce no row.
 
-    Plan shape at scale: the token explode feeds the LM aggregation and
+    Plan shape at scale: the unit explode feeds the LM aggregation and
     the scoring join — persist it once (the materialized token index; at
     a real 100 TB run, the written LM table). The LM join keys on the
-    token (narrow string key); corpus totals ride along via a broadcast
+    unit (narrow string key); corpus totals ride along via a broadcast
     1-row frame. Per-doc score = one partial-agg groupBy. Result eager so
     the index cache releases (the pair-operator convention).
 
     Returns (doc_id, n_tok, surprise) with surprise = round(mean -ln p, 4).
     """
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokens(normalized(F.col(text_col)))).alias("tok"),
-        )
-        .persist()
+    unit = (
+        F.explode(tokens(normalized(F.col(text_col))))
+        if ngram == 1
+        else F.explode(_kgrams(F.col(text_col), ngram))
     )
+    toks = df.select(F.col(id_col).alias("doc_id"), unit.alias("tok")).persist()
     lm = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = lm.agg(F.sum("cnt").cast("bigint").alias("total"))
     scored = (

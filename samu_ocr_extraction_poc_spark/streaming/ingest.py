@@ -195,3 +195,39 @@ def stream_event_metrics(
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
     )
+
+
+def stream_curate(
+    spark: SparkSession,
+    input_dir: str,
+    min_quality: float = 0.4,
+):
+    """Stateless streaming curation stage: score each arriving document
+    with the composite quality gate and scrub PII, keeping survivors —
+    quality_score and redact_pii are pure Column expressions, so this
+    stage carries NO state (unlike the dedup stages it composes with) and
+    backpressures only on the scan. The standard ingest order is
+    curate (stateless) -> near-dup dedup (watermark-bounded state): cheap
+    narrow filtering first shrinks what the stateful stage must remember.
+
+    Returns the streaming DataFrame (doc_id, lang, source, quality,
+    clean_text); start it with writeStream.
+    """
+    from ..functions.textfns import quality_score, redact_pii
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long, "
+        "ingest_ts timestamp"
+    )
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            "ingest_ts",
+            quality_score(F.col("text")).alias("quality"),
+            redact_pii(F.col("text")).alias("clean_text"),
+        )
+        .where(F.col("quality") >= min_quality)
+    )

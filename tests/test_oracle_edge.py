@@ -32,7 +32,7 @@ DOC_QUERIES = [
     "lang_id_heuristic", "bpe_token_counts",
     "repetition_stats", "pack_token_windows", "pack_assignments",
     "stratified_sample", "sample_documents", "quality_filter", "budget_sample",
-    "pii_redact", "lm_surprise", "kmv_overlap",
+    "pii_redact", "lm_surprise", "lm_surprise_bigram", "kmv_overlap",
     "boilerplate_strip", "kmv_distinct", "curate_corpus", "dedup_apply",
     "shared_window_pairs", "contamination_check", "chunk_documents",
 ]

@@ -1088,3 +1088,60 @@ def test_shingles_and_kgrams_match_python_reference(spark):
         assert got[i][0] == ref_shingles(t), (i, t, got[i][0], ref_shingles(t))
         assert got[i][1] == ref_kgrams(t, 2), (i, t)
         assert got[i][2] == ref_kgrams(t, 3), (i, t)
+
+
+def test_stream_curate_stateless_gate(spark, tmp_path):
+    """Streaming curation: low-quality docs dropped, PII scrubbed in the
+    surviving rows, results equal the batch quality_score/redact_pii on
+    the same data (the stage is stateless, so stream == batch exactly)."""
+    from samu_ocr_extraction_poc_spark.functions.textfns import (
+        quality_score,
+        redact_pii,
+    )
+    from samu_ocr_extraction_poc_spark.streaming.ingest import stream_curate
+
+    rows = [
+        (1, "the data and table is of a good long document with many distinct "
+            "interesting words in it for the quality gate to like", "en", "s1",
+         100, "2024-01-01 10:00:00"),
+        (2, "spam spam spam spam spam spam", "en", "s2", 29, "2024-01-01 10:05:00"),
+        (3, "contact me at leak@example.com for the data and a table of words "
+            "in this good long document the quality gate should keep", "en",
+         "s3", 110, "2024-01-01 10:10:00"),
+        (4, "", "en", "s4", 0, "2024-01-01 10:15:00"),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long, ingest_ts string",
+    ).withColumn("ingest_ts", F.col("ingest_ts").cast("timestamp"))
+    d = str(tmp_path / "curate_stream")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    q = (
+        stream_curate(spark, d)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curate_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql("SELECT * FROM curate_out").collect()
+    }
+    batch = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("quality"),
+            redact_pii(F.col("text")).alias("clean_text"),
+        )
+        .where(F.col("quality") >= 0.4)
+        .collect()
+    }
+    assert set(got) == set(batch) and 1 in got and 3 in got
+    assert 4 not in got  # empty doc scores 0.0
+    for k in got:
+        assert got[k]["quality"] == batch[k]["quality"]
+        assert got[k]["clean_text"] == batch[k]["clean_text"]
+    assert "<EMAIL>" in got[3]["clean_text"]
