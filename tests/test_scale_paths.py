@@ -1145,3 +1145,38 @@ def test_stream_curate_stateless_gate(spark, tmp_path):
         assert got[k]["quality"] == batch[k]["quality"]
         assert got[k]["clean_text"] == batch[k]["clean_text"]
     assert "<EMAIL>" in got[3]["clean_text"]
+
+
+def test_ivf_index_build_query_roundtrip(spark, tmp_path):
+    """Persisted IVF index: probing ALL clusters equals exact brute-force
+    top-k bit-for-bit; a 1-probe query prunes the inverted-list scan to
+    the probed clusters' directory partitions; results are deterministic
+    across two query runs against the same index."""
+    from samu_ocr_extraction_poc_spark.operators.similarity import (
+        brute_topk,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(4)
+    loc = str(tmp_path / "ivf")
+    build_ivf_index(emb, loc, k_clusters=4, iterations=2)
+
+    exact = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+             for r in brute_topk(emb, queries, k=3).collect()}
+    full = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+            for r in ivf_topk_indexed(spark, loc, queries, k=3, n_probe=4).collect()}
+    assert full == exact
+
+    one = ivf_topk_indexed(spark, loc, queries, k=3, n_probe=1)
+    rows = one.collect()
+    assert rows and ivf_topk_indexed(spark, loc, queries, k=3, n_probe=1).collect() == rows
+    # every query still gets k results from its probed list
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(v == 3 for v in per_q.values())
+    # the pruning predicate reaches the list scan as a partition filter
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:200]
