@@ -51,6 +51,12 @@ HEADLINE = [
     "dedup_apply",
     "quality_filter",
     "boilerplate_strip",
+    # keep-first global segment dedup (RefinedWeb semantics)
+    "segment_dedup",
+    # DSIR hashed-bigram importance scoring + top-k selection
+    "dsir_select",
+    # SemDeDup: learned-cluster-blocked embedding near-dup drop
+    "semantic_dedup",
     "kmv_distinct",
     "kmv_overlap",
     "curate_corpus",

@@ -972,6 +972,107 @@ LEFT JOIN bagg ON bagg.doc_id = d.doc_id
 """
 
 
+def segment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style KEEP-FIRST exact segment dedup (operators/
+    corpus.py:exact_segment_dedup): the corpus-wide first occurrence of
+    every 8-token segment survives, later occurrences are stripped and each
+    document re-assembled in order. The filtering counterpart
+    (boilerplate_strip) drops ALL occurrences; this keeps one canonical
+    copy — the training-data dedup semantics. The oracle replays the
+    segmentation, the 60-bit md5 keys, the (doc_id, pos) first-occurrence
+    rule and the ordered re-assembly."""
+    from .operators import corpus as CP
+
+    return CP.exact_segment_dedup(_t(spark, sf_dir, "documents"), seg_tokens=8)
+
+
+SEGMENT_DEDUP_SQL = """
+WITH st AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split(trim(text), ' ')) END AS n
+            FROM documents),
+ssegs AS (SELECT doc_id,
+                 unnest(range(1, CAST(ceil(n / 8.0) AS BIGINT) + 1)) AS pos,
+                 unnest(list_transform(range(1, CAST(ceil(n / 8.0) AS BIGINT) + 1),
+                        s -> array_to_string(w[(s-1)*8+1:(s-1)*8+8], ' '))) AS seg
+          FROM st WHERE n > 0),
+sh2 AS (SELECT doc_id, pos, seg, ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h FROM ssegs),
+srn AS (SELECT doc_id, pos, seg,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM sh2),
+sagg AS (SELECT doc_id, count(*) AS n_kept, string_agg(seg, ' ' ORDER BY pos) AS clean_text
+         FROM srn WHERE rn = 1 GROUP BY doc_id),
+stot AS (SELECT doc_id, count(*) AS n_segments FROM sh2 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(stot.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(stot.n_segments, 0) - coalesce(sagg.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(sagg.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN stot ON stot.doc_id = d.doc_id
+LEFT JOIN sagg ON sagg.doc_id = d.doc_id
+"""
+
+
+def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/corpus.py:dsir_importance; Xie
+    et al. 2023, arXiv:2302.03169): hashed-bigram log-likelihood ratio of
+    the English slice vs the whole corpus, add-one smoothed, mean per
+    document. On the synth corpus the English documents correctly score
+    highest (the method working end-to-end). Integer counts feed exact
+    double ratios; ln last-ulp drift washes out in the round(4) mean (the
+    lm_surprise argument)."""
+    from .operators import corpus as CP
+
+    return CP.dsir_importance(
+        _t(spark, sf_dir, "documents"), target_col="lang", target_value="en"
+    )
+
+
+DSIR_SQL = """
+WITH dnorm AS (SELECT doc_id, lang = 'en' AS is_t,
+                      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+               FROM documents),
+dft AS (SELECT doc_id, is_t,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b
+        FROM (SELECT doc_id, is_t,
+                     unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                            i -> array_to_string(w[i:i+1], ' '))) AS g
+              FROM dnorm)),
+drc AS (SELECT b, count(*) AS r_cnt FROM dft GROUP BY b),
+dtc AS (SELECT b, count(*) AS t_cnt FROM dft WHERE is_t GROUP BY b),
+dtot AS (SELECT CAST(count(*) AS BIGINT) AS r_tot,
+                CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_tot
+         FROM dft),
+dbw AS (SELECT drc.b,
+               ln(CAST(coalesce(dtc.t_cnt, 0) + 1 AS DOUBLE) / CAST(dtot.t_tot + 1024 AS DOUBLE))
+             - ln(CAST(drc.r_cnt + 1 AS DOUBLE) / CAST(dtot.r_tot + 1024 AS DOUBLE)) AS w
+        FROM drc LEFT JOIN dtc ON dtc.b = drc.b CROSS JOIN dtot)
+SELECT dft.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+       round(avg(dbw.w), 4) AS dsir_logratio
+FROM dft JOIN dbw ON dbw.b = dft.b
+GROUP BY dft.doc_id
+"""
+
+
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR SELECTION: the top-100 most-target-like documents by importance
+    weight — the rows a data-selection pipeline actually keeps. Global
+    top-k via orderBy+limit (TakeOrderedAndProject: per-partition top-k +
+    driver merge of k*P rows — never a single-partition sort); ties on the
+    round(4) weight broken by doc_id so the cut is total and replayable."""
+    from .operators import corpus as CP
+
+    scores = CP.dsir_importance(
+        _t(spark, sf_dir, "documents"), target_col="lang", target_value="en"
+    )
+    return scores.orderBy(F.col("dsir_logratio").desc(), "doc_id").limit(100)
+
+
+DSIR_SELECT_SQL = (
+    DSIR_SQL.rstrip() + "\nORDER BY dsir_logratio DESC, doc_id LIMIT 100\n"
+)
+
+
 def kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct word-BIGRAM count estimate via the
     deterministic KMV sketch (operators/sketch.py:kmv_distinct_tokens) —
@@ -1410,13 +1511,24 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(k: int = 8, iterations: int = 3) -> str:
-    """DuckDB replay of kmeans_assign (similarity.py): unrolled Lloyd."""
+def _kmeans_sql(
+    k: int = 8,
+    iterations: int = 3,
+    tail: str | None = None,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB replay of kmeans_assign (similarity.py): unrolled Lloyd.
+    ``tail`` overrides the final SELECT (it may reference the assignment
+    CTE ``a{iterations}``, ``dims`` and the source CTE ``esrc``) —
+    SEMANTIC_DEDUP_SQL reuses the identical Lloyd unroll and adds the
+    within-cluster near-dup pass. ``src`` is the source relation (a table
+    name or parenthesized subquery — the dedup entry injects duplicates)."""
     parts = [
-        f"""WITH dims AS (SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS dim,
-             unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+        f"""WITH esrc AS (SELECT * FROM {src}),
+dims AS (SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS v FROM esrc),
 seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+          FROM (SELECT vec_id FROM esrc ORDER BY vec_id LIMIT {k})),
 c0 AS (SELECT s.cluster, d.dim, d.v AS cval FROM dims d JOIN seeds s ON d.vid = s.vec_id)"""
     ]
     for it in range(1, iterations + 1):
@@ -1435,7 +1547,9 @@ c{it} AS (SELECT a.cluster, d.dim, avg(d.v) AS cval
       FROM dims d JOIN a{it} a USING (vid) GROUP BY a.cluster, d.dim)"""
             )
     parts.append(
-        f"""
+        tail
+        if tail is not None
+        else f"""
 SELECT CAST(cluster AS INT) AS cluster, count(*) AS n_members
 FROM a{iterations} GROUP BY cluster"""
     )
@@ -1443,6 +1557,46 @@ FROM a{iterations} GROUP BY cluster"""
 
 
 KMEANS_SQL = _kmeans_sql()
+
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py:semantic_dedup; Abbas et al.
+    2023): k-means the embeddings, drop within-cluster near-duplicates at
+    cosine >= 0.999, keep the lowest id. The synth embeddings have no
+    natural near-dups (max pairwise cosine 0.479), so the entry injects
+    deterministic exact duplicates — every vec_id % 10 == 0 vector
+    repeated at vec_id + 10000 (the pii_redact injection precedent) — and
+    the oracle replays the same injection through the same Lloyd unroll.
+    Identical vectors always share a cluster (identical distances, same
+    lower-cluster-id tie-break), so exactly the 50 injected copies drop."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    injected = emb.select("vec_id", "embedding", "label").unionByName(dup)
+    return SIM.semantic_dedup(injected, k=8, iterations=3, threshold=0.999)
+
+
+def _semantic_dedup_sql(k: int = 8, iterations: int = 3, threshold: float = 0.999) -> str:
+    src = (
+        "(SELECT vec_id, embedding FROM embeddings"
+        " UNION ALL"
+        " SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)"
+    )
+    tail = f""",
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM esrc),
+mem AS (SELECT a{iterations}.vid, a{iterations}.cluster, ev.v
+        FROM a{iterations} JOIN ev ON ev.vec_id = a{iterations}.vid),
+sdup AS (SELECT DISTINCT b.vid
+         FROM mem a JOIN mem b ON a.cluster = b.cluster AND a.vid < b.vid
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {threshold})
+SELECT m.vid AS vec_id, CAST(m.cluster AS INT) AS cluster,
+       CAST(CASE WHEN s.vid IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
+FROM mem m LEFT JOIN sdup s ON s.vid = m.vid"""
+    return _kmeans_sql(k=k, iterations=iterations, tail=tail, src=src)
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
 def embed_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2029,6 +2183,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_surprise": lm_surprise_q,
     "lm_surprise_bigram": lm_surprise2_q,
     "boilerplate_strip": boilerplate_strip_q,
+    "segment_dedup": segment_dedup_q,
+    "dsir_weights": dsir_weights_q,
+    "dsir_select": dsir_select_q,
+    "semantic_dedup": semantic_dedup_q,
     "kmv_distinct": kmv_distinct_q,
     "kmv_overlap": kmv_overlap_q,
     "curate_corpus": curate_corpus_q,
@@ -2095,6 +2253,10 @@ ORACLE_SQL: dict[str, str] = {
     "lm_surprise": LM_SURPRISE_SQL,
     "lm_surprise_bigram": LM_SURPRISE2_SQL,
     "boilerplate_strip": BOILERPLATE_SQL,
+    "segment_dedup": SEGMENT_DEDUP_SQL,
+    "dsir_weights": DSIR_SQL,
+    "dsir_select": DSIR_SELECT_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "kmv_distinct": KMV_SQL,
     "kmv_overlap": KMV_OVERLAP_SQL,
     "curate_corpus": CURATE_SQL,

@@ -309,6 +309,169 @@ def remove_boilerplate(
     return out
 
 
+def exact_segment_dedup(
+    df: DataFrame,
+    seg_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb-style exact segment dedup with KEEP-FIRST semantics: the
+    corpus-wide FIRST occurrence of every fixed-size token segment survives
+    and every later occurrence is removed. This is the dedup counterpart of
+    :func:`remove_boilerplate` (which drops ALL occurrences of frequent
+    segments, the filtering semantics): here repeated content keeps exactly
+    one canonical copy — the choice RefinedWeb/MassiveText make for exact
+    substring dedup, so shared passages still appear once in training data.
+    "First" is (doc_id, pos) order — deterministic, no RNG, replayable.
+
+    Plan shape at scale: the segment explode is persisted once and feeds
+    (a) the survivor aggregation — min(struct(doc_id, pos)) per 60-bit md5
+    segment hash, a two-phase partial-aggregable min, NOT a window — and
+    (b) the decision join keyed on the md5-uniform hash (no skew). Ordered
+    re-assembly is one per-document collect_list agg bounded by document
+    size. No global window, no driver loop; result eager (localCheckpoint)
+    so the index cache releases before the caller consumes it.
+
+    Returns one row per input document:
+    (doc_id, n_segments, n_removed, clean_text).
+    """
+    n = token_count(F.col(text_col))
+    n_segs = F.ceil(n / F.lit(float(seg_tokens))).cast("int")
+    # token array let-bound: slice(toks, ...) inside the per-segment lambda
+    # re-tokenizes per element otherwise (O(n^2)/row)
+    segs = let_bound(
+        tokens(F.col(text_col)),
+        lambda toks: F.transform(
+            F.sequence(F.lit(1), n_segs),
+            lambda s: F.array_join(
+                F.slice(toks, (s - 1) * seg_tokens + 1, seg_tokens), " "
+            ),
+        ),
+    )
+    exploded = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.when(n > 0, segs).otherwise(F.array().cast("array<string>")).alias("segs"),
+        )
+        .select("doc_id", F.posexplode("segs").alias("pos", "seg"))
+        .withColumn("h", token_md5_long(F.col("seg")))
+        .persist()
+    )
+    first = exploded.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f")
+    )
+    tagged = exploded.join(first, "h").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("f.doc_id")) & (F.col("pos") == F.col("f.pos")),
+    )
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg", "keep"))),
+                    lambda x: x["keep"],
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint").alias("n_segments"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    exploded.unpersist()
+    return out
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every raw document by how target-like its hashed n-gram features are.
+    Features are word bigrams hashed into ``n_buckets`` md5 buckets; the
+    target and raw bag-of-buckets distributions are estimated with add-one
+    smoothing; a document's weight is its mean per-feature log-likelihood
+    ratio  ln p_target(b) - ln p_raw(b).  Selecting the top-weighted
+    documents approximates sampling from the target distribution — the
+    published recipe for "give me web data that looks like Wikipedia".
+    Here the target is the ``target_col == target_value`` slice (the
+    pipeline shape is identical when the target is a separate corpus).
+
+    Plan shape at scale: the feature explode is persisted once and feeds
+    the two bucket-count aggregations (partial-aggregable groupBys over at
+    most ``n_buckets`` rows each) and the scoring join; the per-bucket
+    weight table is <= n_buckets rows — broadcast to the scoring join, so
+    the only corpus-sized shuffle is the final per-document aggregation.
+    Smoothed log ratios are exact-integer ratios fed to ln: last-ulp libm
+    differences wash out in the round(4) mean (the lm_surprise argument).
+
+    Returns (doc_id, n_feat, dsir_logratio) — documents too short to form
+    one bigram produce no row.
+    """
+    feats = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(target_col) == F.lit(target_value)).alias("is_t"),
+            F.explode(_kgrams(F.col(text_col), 2)).alias("g"),
+        )
+        .withColumn("b", _md5_bucket(F.col("g"), 8, n_buckets))
+        .drop("g")
+        .persist()
+    )
+    raw_counts = feats.groupBy("b").agg(F.count("*").alias("r_cnt"))
+    tgt_counts = feats.where(F.col("is_t")).groupBy("b").agg(
+        F.count("*").alias("t_cnt")
+    )
+    totals = feats.agg(
+        F.count("*").cast("bigint").alias("r_tot"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("t_tot"),
+    )
+    bw = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t_tot") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("r_cnt") + 1).cast("double")
+                    / (F.col("r_tot") + n_buckets).cast("double")
+                )
+            ).alias("w"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(bw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feat"),
+            F.round(F.avg("w"), 4).alias("dsir_logratio"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    feats.unpersist()
+    return scored
+
+
 def unigram_surprise(
     df: DataFrame,
     text_col: str = "text",

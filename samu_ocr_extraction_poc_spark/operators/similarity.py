@@ -433,6 +433,63 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an UNLABELED corpus by embedding. K-means the
+    embeddings (the deterministic relational Lloyd of
+    :func:`kmeans_assign`), then within each learned cluster drop every
+    vector that has a lower-id member at cosine >= ``threshold`` — the
+    keep-lowest-id deterministic variant of the paper's keep-one-per-group
+    rule (the paper keeps the member farthest from the centroid; any
+    single-survivor choice gives the same dedup rate, and lowest-id is
+    replayable cross-engine with no FP tie risk).
+
+    This is :func:`cosine_near_dup_pairs` without the label crutch: the
+    blocking structure is LEARNED. At 100 TB you raise ``k`` so clusters
+    stay bounded (k ~ N/10^4: the per-cluster self-join is the only
+    quadratic term and runs per-block); clusters are md5-balanced only as
+    much as k-means makes them — the skew lever is k, which the paper
+    itself sizes to ~sqrt(N)..N/1000.
+
+    Returns one row per input vector: (vec_id, cluster, is_kept) with
+    is_kept as 0/1 int.
+    """
+    assign = kmeans_assign(corpus, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col)
+    base = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .join(assign.select(F.col(id_col).alias("vid"), "cluster"), "vid")
+        .persist()
+    )
+    base.count()  # materialize: both self-join sides read the cache, not the lineage
+    a = base.alias("a")
+    b = base.alias("b")
+    dups = (
+        a.join(b, "cluster")
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .where(F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4) >= threshold)
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+    )
+    out = (
+        base.join(dups.withColumn("dup", F.lit(1)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.when(F.col("dup").isNull(), 1).otherwise(0).cast("int").alias("is_kept"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return out
+
+
 def quantize_embeddings(
     corpus: DataFrame,
     id_col: str = "vec_id",

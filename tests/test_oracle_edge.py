@@ -35,6 +35,7 @@ DOC_QUERIES = [
     "pii_redact", "lm_surprise", "lm_surprise_bigram", "kmv_overlap",
     "boilerplate_strip", "kmv_distinct", "curate_corpus", "dedup_apply",
     "shared_window_pairs", "contamination_check", "chunk_documents",
+    "segment_dedup", "dsir_weights", "dsir_select",
 ]
 
 

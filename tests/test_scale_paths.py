@@ -1180,3 +1180,79 @@ def test_ivf_index_build_query_roundtrip(spark, tmp_path):
     # the pruning predicate reaches the list scan as a partition filter
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_exact_segment_dedup_keepfirst(spark):
+    """Keep-first global segment dedup (RefinedWeb semantics): the
+    corpus-wide FIRST (doc_id, pos) occurrence of a segment survives,
+    later occurrences are stripped — unlike remove_boilerplate, which
+    drops every occurrence of a frequent segment."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import exact_segment_dedup
+
+    shared = "w1 w2 w3 w4"  # one full 4-token segment shared by docs 1, 2, 4
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} a b c d e f g h"),
+            (2, f"{shared} p q r s"),
+            (3, "x y z"),          # unique short doc: single partial segment
+            (4, shared),           # nothing but the shared segment
+            (5, ""),               # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in exact_segment_dedup(docs, seg_tokens=4).collect()
+    }
+    assert len(out) == 5
+    # doc 1 holds the FIRST occurrence -> keeps everything
+    assert out[1]["clean_text"] == f"{shared} a b c d e f g h"
+    assert (out[1]["n_segments"], out[1]["n_removed"]) == (3, 0)
+    # later occurrences stripped
+    assert out[2]["clean_text"] == "p q r s" and out[2]["n_removed"] == 1
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 1
+    # unique + empty untouched
+    assert out[3]["clean_text"] == "x y z" and out[3]["n_removed"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_segments"] == 0
+
+
+def test_dsir_ranks_target_language_highest(spark):
+    """DSIR end-to-end sanity: with the English slice as the target, the
+    mean importance weight of English documents must exceed every other
+    language's mean (the method's whole point — hashed-bigram LLR pulls
+    the corpus toward the target distribution)."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import dsir_importance
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    scores = dsir_importance(docs, target_col="lang", target_value="en")
+    by_lang = {
+        r["lang"]: r["m"]
+        for r in scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("dsir_logratio").alias("m"))
+        .collect()
+    }
+    assert len(by_lang) == 5
+    others = {k: v for k, v in by_lang.items() if k != "en"}
+    assert all(by_lang["en"] > v for v in others.values()), by_lang
+
+
+def test_semantic_dedup_drops_exact_duplicates(spark):
+    """SemDeDup: injected exact duplicates land in the SAME learned
+    cluster (identical distances, same tie-break) and the higher-id copy
+    is dropped; every natural vector (max pairwise cos 0.479 in this
+    fixture) survives a 0.999 threshold."""
+    from samu_ocr_extraction_poc_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dup = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    injected = emb.select("vec_id", "embedding", "label").unionByName(dup)
+    out = {r["vec_id"]: r for r in semantic_dedup(injected, threshold=0.999).collect()}
+    n_inj = dup.count()
+    assert len(out) == 500 + n_inj
+    dropped = {vid for vid, r in out.items() if r["is_kept"] == 0}
+    assert dropped == {vid for vid in out if vid >= 10000}
+    # each copy shares its original's cluster
+    for vid in dropped:
+        assert out[vid]["cluster"] == out[vid - 10000]["cluster"]
