@@ -57,6 +57,12 @@ HEADLINE = [
     "dsir_select",
     # SemDeDup: learned-cluster-blocked embedding near-dup drop
     "semantic_dedup",
+    # distributed BPE: 8 pair-count aggs + argmax probes; then the narrow
+    # merge-chain encode
+    "bpe_train_merges",
+    "bpe_encode_counts",
+    # winnowing: sampled fingerprint index + MOSS candidate pairs
+    "winnow_pairs",
     "kmv_distinct",
     "kmv_overlap",
     "curate_corpus",

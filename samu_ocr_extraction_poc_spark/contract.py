@@ -1073,6 +1073,129 @@ DSIR_SELECT_SQL = (
 )
 
 
+def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py:bpe_train;
+    Sennrich et al. 2016): 8 merge rounds over the corpus's weighted word
+    vocabulary, each round one pair-count aggregation + a 1-row argmax.
+    Pinned byte-identical to the classic single-process reference
+    algorithm in tests/test_scale_paths.py; the oracle unrolls the same
+    rounds in DuckDB (same '(sym)(sym)' representation, same greedy-left
+    replace, same lexicographic tie-break on integer counts)."""
+    from .operators import bpe as BP
+
+    return BP.bpe_merge_table(
+        spark, _t(spark, sf_dir, "documents"), n_merges=8
+    )
+
+
+def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding under the trained vocabulary (operators/bpe.py:
+    bpe_encode): per-document token counts after applying the 8 learned
+    merges — the real token counter for budget/packing once a tokenizer
+    exists. Narrow merge-chain replaces on the scan; one per-doc agg."""
+    from .operators import bpe as BP
+
+    docs = _t(spark, sf_dir, "documents")
+    return BP.bpe_encode(docs, BP.bpe_train(docs, n_merges=8))
+
+
+def _bpe_sql(n_merges: int = 8, encode: bool = False) -> str:
+    """DuckDB replay of bpe_train/bpe_encode: the same unrolled merge
+    rounds — '(sym)(sym)' strings, greedy-left literal replace, integer
+    counts with lexicographic 'l r' tie-break (space sorts below [a-z0-9],
+    so string order == (l, r) tuple order on both engines)."""
+    parts = [
+        r"""WITH btok AS (SELECT doc_id,
+                    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+             FROM documents),
+bwf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM btok WHERE length(w) > 0 GROUP BY w),
+bw0 AS (SELECT w, regexp_replace(w, '(.)', '(\1)', 'g') AS s, freq FROM bwf)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""",
+bp{r} AS (SELECT pr AS p, CAST(sum(freq) AS BIGINT) AS c
+          FROM (SELECT freq,
+                       unnest(list_transform(range(1, greatest(len(sy) - 1, 0) + 1),
+                              i -> sy[i] || ' ' || sy[i+1])) AS pr
+                FROM (SELECT string_split(trim(s, '()'), ')(') AS sy, freq FROM bw{r - 1}))
+          GROUP BY pr),
+bb{r} AS (SELECT split_part(p, ' ', 1) AS lhs, split_part(p, ' ', 2) AS rhs, c
+          FROM bp{r} ORDER BY c DESC, p ASC LIMIT 1),
+bw{r} AS (SELECT w, replace(s, '(' || b.lhs || ')(' || b.rhs || ')', '(' || b.lhs || b.rhs || ')') AS s, freq
+          FROM bw{r - 1} CROSS JOIN bb{r} b)"""
+        )
+    if encode:
+        parts.append(
+            f""",
+bcnt AS (SELECT w,
+                CAST((length(s) - length(replace(s, ')(', ''))) / 2 + 1 AS BIGINT) AS n_syms
+         FROM bw{n_merges}),
+bdt AS (SELECT doc_id, w FROM btok WHERE length(w) > 0)
+SELECT bdt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(bcnt.n_syms) AS BIGINT) AS n_bpe_tokens
+FROM bdt JOIN bcnt USING (w)
+GROUP BY bdt.doc_id"""
+        )
+    else:
+        unions = "\nUNION ALL ".join(
+            f"SELECT CAST({r} AS INT) AS merge_idx, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM bb{r}"
+            for r in range(1, n_merges + 1)
+        )
+        parts.append("\n" + unions)
+    return "".join(parts)
+
+
+BPE_TRAIN_SQL = _bpe_sql(encode=False)
+BPE_ENCODE_SQL = _bpe_sql(encode=True)
+
+
+def winnow_fps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/winnow.py:winnow_fingerprints;
+    Schleimer et al. 2003 — MOSS): distinct window-min 4-gram hashes,
+    window 5 — the ~2/(w+1)-rate sampled fingerprint index. Selecting min
+    VALUES (not positions) makes the set tie-independent, so both engines
+    agree exactly."""
+    from .operators import winnow as WN
+
+    return WN.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=4, w=5)
+
+
+_WINNOW_CTES = """
+WITH vnorm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tw FROM documents),
+vg AS (SELECT doc_id, list_transform(range(1, greatest(len(tw) - 3, 0) + 1),
+              i -> array_to_string(tw[i:i+3], ' ')) AS grams FROM vnorm),
+vh AS (SELECT doc_id, list_transform(grams, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs FROM vg),
+vm AS (SELECT doc_id, unnest(list_transform(range(1, CASE WHEN len(hs) >= 1 THEN greatest(len(hs) - 4, 1) ELSE 0 END + 1),
+              i -> list_min(hs[i:i+4]))) AS fp FROM vh),
+vfp AS (SELECT DISTINCT doc_id, fp FROM vm)
+"""
+
+WINNOW_SQL = _WINNOW_CTES + "SELECT doc_id, fp FROM vfp"
+
+
+def winnow_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match candidates (operators/winnow.py:winnow_candidate_pairs):
+    pairs sharing >= 2 winnowing fingerprints after a max_df=20 ubiquity
+    cut — the sampled-index alternative to shared_window_pairs' exhaustive
+    inverted index (guaranteed to catch any shared run of k+w-1 = 8
+    tokens at ~28% of the index size on this corpus)."""
+    from .operators import winnow as WN
+
+    return WN.winnow_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k=4, w=5, min_shared=2, max_df=20
+    )
+
+
+WINNOW_PAIRS_SQL = _WINNOW_CTES + """,
+vdf AS (SELECT fp, count(*) AS dfc FROM vfp GROUP BY fp),
+vflt AS (SELECT vfp.doc_id, vfp.fp FROM vfp JOIN vdf USING (fp) WHERE vdf.dfc <= 20)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM vflt a JOIN vflt b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct word-BIGRAM count estimate via the
     deterministic KMV sketch (operators/sketch.py:kmv_distinct_tokens) —
@@ -2187,6 +2310,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": dsir_weights_q,
     "dsir_select": dsir_select_q,
     "semantic_dedup": semantic_dedup_q,
+    "bpe_train_merges": bpe_train_q,
+    "bpe_encode_counts": bpe_encode_q,
+    "winnow_fingerprints": winnow_fps_q,
+    "winnow_pairs": winnow_pairs_q,
     "kmv_distinct": kmv_distinct_q,
     "kmv_overlap": kmv_overlap_q,
     "curate_corpus": curate_corpus_q,
@@ -2257,6 +2384,10 @@ ORACLE_SQL: dict[str, str] = {
     "dsir_weights": DSIR_SQL,
     "dsir_select": DSIR_SELECT_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "bpe_train_merges": BPE_TRAIN_SQL,
+    "bpe_encode_counts": BPE_ENCODE_SQL,
+    "winnow_fingerprints": WINNOW_SQL,
+    "winnow_pairs": WINNOW_PAIRS_SQL,
     "kmv_distinct": KMV_SQL,
     "kmv_overlap": KMV_OVERLAP_SQL,
     "curate_corpus": CURATE_SQL,

@@ -36,6 +36,8 @@ DOC_QUERIES = [
     "boilerplate_strip", "kmv_distinct", "curate_corpus", "dedup_apply",
     "shared_window_pairs", "contamination_check", "chunk_documents",
     "segment_dedup", "dsir_weights", "dsir_select",
+    "bpe_train_merges", "bpe_encode_counts",
+    "winnow_fingerprints", "winnow_pairs",
 ]
 
 

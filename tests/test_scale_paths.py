@@ -1256,3 +1256,127 @@ def test_semantic_dedup_drops_exact_duplicates(spark):
     # each copy shares its original's cluster
     for vid in dropped:
         assert out[vid]["cluster"] == out[vid - 10000]["cluster"]
+
+
+def test_bpe_train_matches_classic_reference(spark):
+    """Distributed BPE must reproduce the classic single-process Sennrich
+    algorithm byte-for-byte: same merges, same order, same counts —
+    including the greedy-leftmost merge inside words (the '(sym)(sym)'
+    replace representation) and the lexicographic tie-break."""
+    import collections
+    import re
+
+    from samu_ocr_extraction_poc_spark.operators.bpe import bpe_encode, bpe_train
+
+    texts = [
+        "low low low low low lower lower newest newest newest newest newest newest widest widest widest",
+        "the cat sat on the mat the cat",
+        "aaaa aaaa aa baaab",  # runs: greedy-left overlap handling
+    ]
+    docs = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def ref_bpe(texts, n):
+        wf = collections.Counter()
+        for t in texts:
+            for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split():
+                if w:
+                    wf[w] += 1
+        vocab = {tuple(w): f for w, f in wf.items()}
+        merges = []
+        for idx in range(1, n + 1):
+            pc = collections.Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            mx = max(pc.values())
+            p = sorted(pr for pr, c in pc.items() if c == mx)[0]
+            merges.append((idx, p[0], p[1], p[0] + p[1], mx))
+            newv = {}
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == p[0] and syms[i + 1] == p[1]:
+                        out.append(p[0] + p[1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                newv[tuple(out)] = newv.get(tuple(out), 0) + f
+            vocab = newv
+        return merges, vocab
+
+    got = bpe_train(docs, n_merges=10)
+    want, final_vocab = ref_bpe(texts, 10)
+    assert [tuple(r) for r in got] == want
+
+    # encode totals must equal the reference vocabulary's symbol counts
+    ref_tokens = collections.Counter()
+    for t_i, t in enumerate(texts, start=1):
+        wf_doc = [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
+        # re-encode each word greedily with the merge list
+        for w in wf_doc:
+            syms = list(w)
+            for _, l, r, _m, _c in want:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            ref_tokens[t_i] += len(syms)
+    enc = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_encode(docs, got).collect()}
+    assert enc == dict(ref_tokens)
+
+
+def test_winnowing_guarantee_and_sampling_rate(spark):
+    """Winnowing's detection guarantee: two documents sharing a run of at
+    least k + w - 1 tokens MUST share at least one fingerprint (the paper's
+    correctness property), while the fingerprint index stays a fraction of
+    the full k-gram index (~2/(w+1) expected)."""
+    from samu_ocr_extraction_poc_spark.operators.winnow import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = k+w-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {run} four five six"),
+            (2, f"seven eight {run} nine ten eleven twelve"),
+            (3, "totally different words with no common run at all here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    by_doc = {
+        d: {r["fp"] for r in rows}
+        for d, rows in __import__("itertools").groupby(
+            sorted(fps.collect(), key=lambda r: r["doc_id"]), key=lambda r: r["doc_id"]
+        )
+    }
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    assert 4 not in by_doc  # empty doc -> no rows
+
+    pairs = winnow_candidate_pairs(docs, k=4, w=5, min_shared=1, max_df=20).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+    # sampling: the fingerprint index is a strict fraction of the k-gram index
+    corpus = spark.read.parquet(f"{SF}/documents.parquet")
+    n_fp = winnow_fingerprints(corpus, k=4, w=5).count()
+    from samu_ocr_extraction_poc_spark.operators.corpus import _kgrams
+
+    n_grams = (
+        corpus.select(F.explode(_kgrams(F.col("text"), 4)).alias("g"))
+        .select("g", F.col("g").alias("d"))
+        .count()
+    )
+    assert n_fp < 0.5 * n_grams, (n_fp, n_grams)
