@@ -63,6 +63,9 @@ HEADLINE = [
     "bpe_encode_counts",
     # winnowing: sampled fingerprint index + MOSS candidate pairs
     "winnow_pairs",
+    # narrow curation gate + broadcast-centroid classification
+    "blocklist_filter",
+    "centroid_classify",
     "kmv_distinct",
     "kmv_overlap",
     "curate_corpus",

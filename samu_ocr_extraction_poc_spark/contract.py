@@ -1150,6 +1150,59 @@ BPE_TRAIN_SQL = _bpe_sql(encode=False)
 BPE_ENCODE_SQL = _bpe_sql(encode=True)
 
 
+def blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist curation gate (operators/corpus.py:blocklist_filter —
+    the C4 badwords pass): token-level hits against a literal config
+    list, keep docs with <= 2 hits. 'spark'/'vector' stand in for a real
+    blocklist on the synth vocabulary: 202 of 500 docs survive at
+    sf0.001, 158 of them with a nonzero hit count (both filter branches
+    exercised)."""
+    from .operators import corpus as CP
+
+    return CP.blocklist_filter(
+        _t(spark, sf_dir, "documents"), ["spark", "vector"], max_hits=2
+    )
+
+
+BLOCKLIST_SQL = """
+WITH bltok AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tw,
+        CASE WHEN length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) = 0 THEN 0
+             ELSE len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) END AS n
+ FROM documents)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+       CAST(len(list_filter(tw, t -> list_contains(['spark', 'vector'], t))) AS BIGINT) AS n_blocked
+FROM bltok
+WHERE len(list_filter(tw, t -> list_contains(['spark', 'vector'], t))) <= 2
+"""
+
+
+def centroid_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid domain classification (operators/similarity.py:
+    centroid_classify — Rocchio): confusion counts of true vs predicted
+    label over the embeddings table. Same cross-engine FP argument as
+    kmeans_clusters: plain-multiply squared distances, argmin gaps far
+    above avg() summation-order drift."""
+    return SIM.centroid_classify(_t(spark, sf_dir, "embeddings"))
+
+
+CENTROID_CLASSIFY_SQL = """
+WITH cdm AS (SELECT vec_id AS vid, label AS tl, generate_subscripts(embedding, 1) AS dim,
+                    unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+ccn AS (SELECT label AS pred, dim, avg(v) AS cval
+        FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings)
+        GROUP BY 1, 2),
+csc AS (SELECT cdm.vid, cdm.tl, ccn.pred, sum((cdm.v - ccn.cval) * (cdm.v - ccn.cval)) AS d2
+        FROM cdm JOIN ccn USING (dim) GROUP BY 1, 2, 3),
+cbest AS (SELECT vid, tl, pred FROM (
+            SELECT vid, tl, pred, row_number() OVER (PARTITION BY vid ORDER BY d2, pred) AS rn FROM csc)
+          WHERE rn = 1)
+SELECT CAST(tl AS INT) AS true_label, CAST(pred AS INT) AS pred_label, CAST(count(*) AS BIGINT) AS n
+FROM cbest GROUP BY 1, 2
+"""
+
+
 def winnow_fps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/winnow.py:winnow_fingerprints;
     Schleimer et al. 2003 — MOSS): distinct window-min 4-gram hashes,
@@ -2314,6 +2367,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode_counts": bpe_encode_q,
     "winnow_fingerprints": winnow_fps_q,
     "winnow_pairs": winnow_pairs_q,
+    "blocklist_filter": blocklist_filter_q,
+    "centroid_classify": centroid_classify_q,
     "kmv_distinct": kmv_distinct_q,
     "kmv_overlap": kmv_overlap_q,
     "curate_corpus": curate_corpus_q,
@@ -2388,6 +2443,8 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_encode_counts": BPE_ENCODE_SQL,
     "winnow_fingerprints": WINNOW_SQL,
     "winnow_pairs": WINNOW_PAIRS_SQL,
+    "blocklist_filter": BLOCKLIST_SQL,
+    "centroid_classify": CENTROID_CLASSIFY_SQL,
     "kmv_distinct": KMV_SQL,
     "kmv_overlap": KMV_OVERLAP_SQL,
     "curate_corpus": CURATE_SQL,

@@ -574,6 +574,36 @@ def budget_sample(
     )
 
 
+def blocklist_filter(
+    df: DataFrame,
+    blockwords: list[str],
+    max_hits: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist curation gate (the bad-words pass every public web
+    pipeline runs — C4's badwords filter): count normalized-token hits
+    against the list and keep documents with at most ``max_hits``. Token-
+    level matching on the normalized text, not substring search —
+    "class" must not trip a "lass" entry. The list is a literal array in
+    the plan (it is a config artifact, thousands of entries at most);
+    matching is a narrow filter over the scan — no shuffle, no join.
+
+    Returns surviving rows: (doc_id, n_tok, n_blocked).
+    """
+    arr = F.array(*[F.lit(w) for w in sorted(blockwords)])
+    toks = tokens(normalized(F.col(text_col)))
+    n_blocked = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            token_count(normalized(F.col(text_col))).cast("bigint").alias("n_tok"),
+            n_blocked.cast("bigint").alias("n_blocked"),
+        )
+        .where(F.col("n_blocked") <= max_hits)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

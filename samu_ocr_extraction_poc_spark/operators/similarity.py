@@ -133,6 +133,49 @@ def ivf_topk(
     )
 
 
+def centroid_classify(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification — the cheap domain/quality
+    tagger used to route corpus slices (classify each document embedding
+    to the closest labeled-domain centroid): per-label centroids from the
+    labeled rows, every vector assigned to its squared-distance argmin
+    centroid, confusion counts out. (v-c)*(v-c), not pow: the plain
+    multiply is IEEE-exact on both engines (the kmeans_assign convention),
+    and the fixture's argmin gaps dwarf avg() summation-order drift.
+
+    Plan shape at scale: centroid table is labels x dims rows — broadcast;
+    the per-vector dim join + argmin is one partial-agg groupBy and a
+    per-vector (not global) window. Returns (true_label, pred_label, n).
+    """
+    cent = label_centroids(corpus, vec_col, label_col).select(
+        F.col("label").alias("pred"), "dim", "cval"
+    )
+    dims = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("true_label"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    diff = F.col("v") - F.col("cval")
+    scored = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vid", "true_label", "pred")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("pred").asc())
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return best.groupBy(
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("pred").cast("int").alias("pred_label"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+
 def kmeans_assign(
     corpus: DataFrame,
     k: int = 8,

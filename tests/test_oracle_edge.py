@@ -37,7 +37,7 @@ DOC_QUERIES = [
     "shared_window_pairs", "contamination_check", "chunk_documents",
     "segment_dedup", "dsir_weights", "dsir_select",
     "bpe_train_merges", "bpe_encode_counts",
-    "winnow_fingerprints", "winnow_pairs",
+    "winnow_fingerprints", "winnow_pairs", "blocklist_filter",
 ]
 
 

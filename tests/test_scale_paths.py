@@ -1380,3 +1380,42 @@ def test_winnowing_guarantee_and_sampling_rate(spark):
         .count()
     )
     assert n_fp < 0.5 * n_grams, (n_fp, n_grams)
+
+
+def test_blocklist_filter_token_level(spark):
+    """Blocklist matching is token-level on the normalized text: 'lass' in
+    the list must not trip 'class', punctuation variants of a blocked word
+    must trip it, and the max_hits bound is inclusive."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly clean document"),
+            (2, "the class is not the lass word"),   # substring must NOT match
+            (3, "bad Bad BAD!"),                      # 3 normalized hits
+            (4, "one bad token only"),                # 1 hit
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in blocklist_filter(docs, ["bad", "lass"], max_hits=1).collect()}
+    assert set(out) == {1, 2, 4, 5}          # doc 3 exceeds max_hits
+    assert out[2]["n_blocked"] == 1          # 'lass' token itself, not 'class'
+    assert out[4]["n_blocked"] == 1
+    assert out[5]["n_tok"] == 0 and out[5]["n_blocked"] == 0
+
+
+def test_centroid_classify_separable_fixture(spark):
+    """Rocchio classification: on a linearly-separated fixture every
+    vector classifies to its own label's centroid (diagonal confusion)."""
+    from samu_ocr_extraction_poc_spark.operators.similarity import centroid_classify
+
+    rows = []
+    vid = 0
+    for lab, base in [(0, 0.0), (1, 10.0), (2, -10.0)]:
+        for j in range(4):
+            rows.append((vid, [base + 0.1 * j, base - 0.1 * j], lab))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["true_label"], r["pred_label"]): r["n"] for r in centroid_classify(emb).collect()}
+    assert out == {(0, 0): 4, (1, 1): 4, (2, 2): 4}
