@@ -314,6 +314,7 @@ def exact_segment_dedup(
     seg_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eager: bool = True,
 ) -> DataFrame:
     """RefinedWeb-style exact segment dedup with KEEP-FIRST semantics: the
     corpus-wide FIRST occurrence of every fixed-size token segment survives
@@ -387,8 +388,11 @@ def exact_segment_dedup(
             F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
-        .localCheckpoint(eager=True)
     )
+    if not eager:
+        # plan-inspection hook (tests): caller owns the exploded cache
+        return out
+    out = out.localCheckpoint(eager=True)
     exploded.unpersist()
     return out
 
@@ -400,6 +404,7 @@ def dsir_importance(
     n_buckets: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eager: bool = True,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", arXiv:2302.03169): score
@@ -459,15 +464,14 @@ def dsir_importance(
             ).alias("w"),
         )
     )
-    scored = (
-        feats.join(F.broadcast(bw), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_feat"),
-            F.round(F.avg("w"), 4).alias("dsir_logratio"),
-        )
-        .localCheckpoint(eager=True)
+    scored = feats.join(F.broadcast(bw), "b").groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_feat"),
+        F.round(F.avg("w"), 4).alias("dsir_logratio"),
     )
+    if not eager:
+        # plan-inspection hook (tests): caller owns the feats cache
+        return scored
+    scored = scored.localCheckpoint(eager=True)
     feats.unpersist()
     return scored
 

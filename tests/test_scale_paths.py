@@ -1419,3 +1419,38 @@ def test_centroid_classify_separable_fixture(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     out = {(r["true_label"], r["pred_label"]): r["n"] for r in centroid_classify(emb).collect()}
     assert out == {(0, 0): 4, (1, 1): 4, (2, 2): 4}
+
+
+def test_new_corpus_ops_plan_shapes(spark):
+    """Scale guards for the round-3 additions (lazy plan-inspection forms):
+    DSIR's bucket-weight join must be a broadcast (the weight table is
+    <= n_buckets rows; a shuffle join would move the corpus-sized feature
+    frame), segment dedup's survivor selection must be an aggregation
+    (never a global window), and neither plan — nor the lazy winnowing
+    fingerprint op — may contain a single-partition exchange."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import (
+        dsir_importance,
+        exact_segment_dedup,
+    )
+    from samu_ocr_extraction_poc_spark.operators.winnow import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    dsir_plan = _plan(dsir_importance(docs, eager=False))
+    assert "BroadcastHashJoin" in dsir_plan
+    # the ONLY single-partition exchange allowed is the 1-row corpus-totals
+    # scalar aggregate (two-phase: 32 partial rows move, not the corpus)
+    lines = dsir_plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "SinglePartition" in ln:
+            below = "\n".join(lines[i : i + 4])
+            assert "keys=[], functions=[partial_" in below, ln
+    assert "Window" not in dsir_plan
+
+    seg_plan = _plan(exact_segment_dedup(docs, eager=False))
+    assert "SinglePartition" not in seg_plan
+    assert "Window" not in seg_plan  # survivor = min-struct agg, not a window
+
+    win_plan = _plan(winnow_fingerprints(docs))
+    assert "SinglePartition" not in win_plan
+    spark.catalog.clearCache()  # release the eager=False test caches
