@@ -66,6 +66,9 @@ HEADLINE = [
     # narrow curation gate + broadcast-centroid classification
     "blocklist_filter",
     "centroid_classify",
+    # per-test-doc decontamination verdicts + domain-level source gate
+    "contamination_report",
+    "source_filter",
     "kmv_distinct",
     "kmv_overlap",
     "curate_corpus",

@@ -784,6 +784,42 @@ GROUP BY te.doc_id
 """
 
 
+def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination decision table (operators/dedup.py:
+    contamination_report) over the same id-parity pseudo-split as
+    contamination_check: per TEST doc window totals, hits, round(4)
+    contamination fraction (an exact integer ratio — no FP drift) and the
+    clean/drop verdict at max_frac=0.2. Every test doc gets a row — the
+    clean ones are the output a pipeline keeps."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    return DD.contamination_report(train, test, k=16, max_df=50, max_frac=0.2)
+
+
+CONTAMINATION_REPORT_SQL = """
+WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 15, 1) + 1),
+                             i -> array_to_string(w[i:i+15], ' ')))) AS shingle
+       FROM norm),
+tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 2 = 0),
+te AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+ctot AS (SELECT doc_id, count(DISTINCT shingle) AS n_windows FROM te GROUP BY doc_id),
+dfc AS (SELECT shingle, count(*) AS df FROM tr GROUP BY shingle),
+chit AS (SELECT te.doc_id, count(DISTINCT te.shingle) AS nh
+         FROM te JOIN tr USING (shingle) JOIN dfc USING (shingle)
+         WHERE dfc.df <= 50
+         GROUP BY te.doc_id)
+SELECT ctot.doc_id,
+       CAST(ctot.n_windows AS BIGINT) AS n_windows,
+       CAST(coalesce(chit.nh, 0) AS BIGINT) AS n_windows_hit,
+       round(coalesce(chit.nh, 0) / ctot.n_windows, 4) AS contam_frac,
+       CAST(CASE WHEN round(coalesce(chit.nh, 0) / ctot.n_windows, 4) <= 0.2
+                 THEN 1 ELSE 0 END AS INT) AS is_clean
+FROM ctot LEFT JOIN chit USING (doc_id)
+"""
+
+
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (operators/corpus.py)."""
     from .operators import corpus as CP
@@ -926,6 +962,40 @@ qpass AS (SELECT qq.doc_id, qq.quality, qtfrac.dup_trigram_char_frac
 
 QUALITY_FILTER_SQL = "WITH " + _QUALITY_CTES + """
 SELECT doc_id, quality, dup_trigram_char_frac FROM qpass
+"""
+
+
+def source_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality audit (operators/corpus.py:source_stats) — the
+    aggregate behind domain-level filtering."""
+    from .operators import corpus as CP
+
+    return CP.source_stats(_t(spark, sf_dir, "documents"))
+
+
+SOURCE_STATS_SQL = "WITH " + _QUALITY_CTES + """
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(qq.quality), 4) AS mean_quality
+FROM qq JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+def source_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level gate (operators/corpus.py:source_filter): keep
+    documents whose source's mean quality clears 0.52 (both gate branches
+    populated at every sf — sources span ~0.46-0.56)."""
+    from .operators import corpus as CP
+
+    return CP.source_filter(_t(spark, sf_dir, "documents"), min_mean_quality=0.52)
+
+
+SOURCE_FILTER_SQL = "WITH " + _QUALITY_CTES + """,
+srcq AS (SELECT d.source, round(avg(qq.quality), 4) AS mean_quality
+         FROM qq JOIN documents d USING (doc_id) GROUP BY d.source)
+SELECT d.doc_id, d.source
+FROM documents d JOIN srcq ON srcq.source = d.source
+WHERE srcq.mean_quality >= 0.52
 """
 
 
@@ -2369,6 +2439,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs": winnow_pairs_q,
     "blocklist_filter": blocklist_filter_q,
     "centroid_classify": centroid_classify_q,
+    "contamination_report": contamination_report_q,
+    "source_stats": source_stats_q,
+    "source_filter": source_filter_q,
     "kmv_distinct": kmv_distinct_q,
     "kmv_overlap": kmv_overlap_q,
     "curate_corpus": curate_corpus_q,
@@ -2445,6 +2518,9 @@ ORACLE_SQL: dict[str, str] = {
     "winnow_pairs": WINNOW_PAIRS_SQL,
     "blocklist_filter": BLOCKLIST_SQL,
     "centroid_classify": CENTROID_CLASSIFY_SQL,
+    "contamination_report": CONTAMINATION_REPORT_SQL,
+    "source_stats": SOURCE_STATS_SQL,
+    "source_filter": SOURCE_FILTER_SQL,
     "kmv_distinct": KMV_SQL,
     "kmv_overlap": KMV_OVERLAP_SQL,
     "curate_corpus": CURATE_SQL,

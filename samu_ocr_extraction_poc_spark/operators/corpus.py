@@ -578,6 +578,43 @@ def budget_sample(
     )
 
 
+def source_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source (per-domain) quality aggregates — the audit table behind
+    domain-level filtering (RefinedWeb/C4 drop whole domains, not just
+    documents: a consistently-low-quality source is spam/SEO even when a
+    few of its pages pass the per-doc gate). One partial-agg groupBy over
+    sources. Returns (source, n_docs, mean_quality round4)."""
+    from ..functions.textfns import quality_score
+
+    return df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg(quality_score(F.col(text_col))), 4).alias("mean_quality"),
+    )
+
+
+def source_filter(
+    df: DataFrame,
+    min_mean_quality: float = 0.52,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain-level gate: keep every document whose SOURCE clears the mean
+    quality bar — the aggregate-then-gate pattern (per-source stats are a
+    tiny table, broadcast back; the corpus sees one narrow semi join, no
+    second scan of the text). Returns surviving (doc_id, source)."""
+    good = source_stats(df, text_col, source_col).where(
+        F.col("mean_quality") >= min_mean_quality
+    )
+    return df.join(
+        F.broadcast(good.select("source")), "source", "left_semi"
+    ).select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+
+
 def blocklist_filter(
     df: DataFrame,
     blockwords: list[str],

@@ -443,6 +443,64 @@ def cross_corpus_contamination(
     return out
 
 
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    max_df: int = 50,
+    max_frac: float = 0.2,
+) -> DataFrame:
+    """The decontamination DECISION table: one row per TEST document with
+    its window totals, hit counts, contamination fraction, and the
+    clean/drop verdict — what a pre-training pipeline actually consumes
+    (cross_corpus_contamination reports only the contaminated docs'
+    hit counts; the decision needs the denominator and the clean rows
+    too). frac = hits/windows is an exact integer ratio in double — no FP
+    drift cross-engine — and the verdict compares the round(4) fraction.
+
+    Same index construction: train windows persisted+materialized once,
+    hot windows (train df > max_df) cut before the probe join. The test
+    window frame feeds the totals agg and the probe — persisted too.
+
+    Returns (doc_id, n_windows, n_windows_hit, contam_frac, is_clean 0/1).
+    """
+    tr = doc_shingles(train, text_col, id_col, k).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    ).persist()
+    tr.count()
+    te = doc_shingles(test, text_col, id_col, k).persist()
+    te.count()
+    totals = te.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_windows")
+    )
+    dfc = tr.groupBy("shingle").agg(F.count("*").alias("df"))
+    tr_cut = tr.join(dfc.where(F.col("df") <= max_df), "shingle")
+    hits = (
+        te.join(tr_cut, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("nh"))
+    )
+    frac = F.round(
+        F.coalesce(F.col("nh"), F.lit(0)) / F.col("n_windows"), 4
+    )
+    out = (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.coalesce(F.col("nh"), F.lit(0)).cast("bigint").alias("n_windows_hit"),
+            frac.alias("contam_frac"),
+            F.when(frac <= max_frac, 1).otherwise(0).cast("int").alias("is_clean"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    te.unpersist()
+    tr.unpersist()
+    return out
+
+
 def keep_canonical(
     df: DataFrame,
     pairs: DataFrame,

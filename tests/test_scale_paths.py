@@ -1454,3 +1454,50 @@ def test_new_corpus_ops_plan_shapes(spark):
     win_plan = _plan(winnow_fingerprints(docs))
     assert "SinglePartition" not in win_plan
     spark.catalog.clearCache()  # release the eager=False test caches
+
+
+def test_contamination_report_verdicts(spark):
+    """Decontamination decision table: a fully-leaked test doc is dirty, a
+    clean test doc has zero hits and is_clean=1, and every test doc gets a
+    row (the denominator semantics cross_corpus_contamination lacks)."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import contamination_report
+
+    leaked = " ".join(f"w{i}" for i in range(20))  # 20 tokens -> 5 windows @ k=16
+    train = spark.createDataFrame(
+        [(100, f"prefix tokens here {leaked} suffix tokens there")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(1, leaked), (2, " ".join(f"z{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_report(train, test, k=16, max_frac=0.2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_windows"] == 5 and out[1]["n_windows_hit"] == 5
+    assert out[1]["contam_frac"] == 1.0 and out[1]["is_clean"] == 0
+    assert out[2]["n_windows_hit"] == 0 and out[2]["is_clean"] == 1
+
+
+def test_source_filter_gates_whole_domains(spark):
+    """Domain-level gate: a document from a low-quality source is dropped
+    even if the document itself is fine (the whole point of source-level
+    filtering), and good sources keep all their docs."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import source_filter, source_stats
+
+    good_text = "the quick brown fox jumps over a lazy dog and then the fox rests for a while near the river bank today"
+    bad_text = "spam spam spam spam spam"
+    docs = spark.createDataFrame(
+        [
+            (1, good_text, "good.com"),
+            (2, good_text + " indeed quite readable content overall", "good.com"),
+            (3, good_text, "spamfarm.net"),  # fine doc, bad source
+            (4, bad_text, "spamfarm.net"),
+            (5, bad_text, "spamfarm.net"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    stats = {r["source"]: r["mean_quality"] for r in source_stats(docs).collect()}
+    assert stats["good.com"] > stats["spamfarm.net"]
+    thr = (stats["good.com"] + stats["spamfarm.net"]) / 2
+    kept = {r["doc_id"] for r in source_filter(docs, min_mean_quality=thr).collect()}
+    assert kept == {1, 2}  # doc 3 dropped with its domain
