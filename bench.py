@@ -69,6 +69,8 @@ HEADLINE = [
     # per-test-doc decontamination verdicts + domain-level source gate
     "contamination_report",
     "source_filter",
+    # batch-ingest probe against the corpus band index (no self-join)
+    "incremental_dedup",
     "kmv_distinct",
     "kmv_overlap",
     "curate_corpus",

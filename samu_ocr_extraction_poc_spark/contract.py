@@ -499,6 +499,36 @@ WHERE a.doc_id < b.doc_id)
 LSH_SQL = _LSH_CTES + "SELECT doc_a, doc_b FROM lsh_pairs"
 
 
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-ingest dedup (operators/dedup.py:lsh_probe_dedup):
+    docs with doc_id % 5 == 0 play the incoming batch, the rest the
+    already-indexed corpus; each batch doc is probed against the corpus's
+    LSH band index (no self-join) and flagged is_new=0 when any corpus doc
+    shares a band bucket. 31 of 100 batch docs flag at sf0.001 — both
+    branches populated."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    return DD.lsh_probe_dedup(corpus, batch, num_hashes=8, rows_per_band=2, k=3)
+
+
+INCREMENTAL_DEDUP_SQL = _SHINGLE_SQL_BASE + """
+, sig AS (SELECT doc_id, """ + _MINHASH_TERMS + """
+FROM sh GROUP BY doc_id),
+bands AS (""" + "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id, CAST(h{2*b} AS VARCHAR) || '_' || CAST(h{2*b+1} AS VARCHAR) AS band_key FROM sig"
+    for b in range(4)
+) + """),
+ihit AS (SELECT n.doc_id, count(DISTINCT o.doc_id) AS nh
+         FROM (SELECT * FROM bands WHERE doc_id % 5 = 0) n
+         JOIN (SELECT * FROM bands WHERE doc_id % 5 != 0) o USING (band_id, band_key)
+         GROUP BY n.doc_id)
+SELECT s.doc_id, CAST(coalesce(ihit.nh, 0) AS BIGINT) AS n_index_hits,
+       CAST(CASE WHEN ihit.nh IS NULL THEN 1 ELSE 0 END AS INT) AS is_new
+FROM (SELECT DISTINCT doc_id FROM sig WHERE doc_id % 5 = 0) s LEFT JOIN ihit USING (doc_id)
+"""
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: minhash-LSH pairs -> distributed connected
     components (operators/dedup.py:connected_components, min-label
@@ -2442,6 +2472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_report": contamination_report_q,
     "source_stats": source_stats_q,
     "source_filter": source_filter_q,
+    "incremental_dedup": incremental_dedup_q,
     "kmv_distinct": kmv_distinct_q,
     "kmv_overlap": kmv_overlap_q,
     "curate_corpus": curate_corpus_q,
@@ -2521,6 +2552,7 @@ ORACLE_SQL: dict[str, str] = {
     "contamination_report": CONTAMINATION_REPORT_SQL,
     "source_stats": SOURCE_STATS_SQL,
     "source_filter": SOURCE_FILTER_SQL,
+    "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "kmv_distinct": KMV_SQL,
     "kmv_overlap": KMV_OVERLAP_SQL,
     "curate_corpus": CURATE_SQL,

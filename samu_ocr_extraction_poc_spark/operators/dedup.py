@@ -148,6 +148,80 @@ def row_minhash(
     return [_h(i) for i in range(num_hashes)]
 
 
+def _banded(
+    signatures: DataFrame, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band_id, band_key) rows from an h0..h{n-1} signature frame
+    — the banding shared by the self-join (lsh_candidate_pairs) and the
+    index-probe (lsh_probe_dedup) constructions."""
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
+    )
+
+
+def lsh_probe_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """INCREMENTAL near-dup dedup: probe a NEW batch against the EXISTING
+    corpus's minhash-LSH band index — the batch-ingest production shape
+    (a self-join over corpus+batch would re-pair the whole history on
+    every ingest; the probe join touches only batch x matching-bucket
+    rows, and at a real deployment the corpus band index is a persisted
+    table that only ever gets appended to). Same signature family and
+    banding as lsh_candidate_pairs.
+
+    Returns one row per batch document that has a signature (a doc with
+    no shingles has nothing to collide on):
+    (doc_id, n_index_hits, is_new 0/1) — is_new=0 means some corpus
+    document shares a band bucket (near-dup: drop or re-route).
+    """
+    idx = _banded(
+        minhash_signatures(corpus, text_col, id_col, num_hashes, k),
+        num_hashes,
+        rows_per_band,
+    ).select(F.col("doc_id").alias("index_id"), "band_id", "band_key").persist()
+    idx.count()
+    new_sig = minhash_signatures(batch, text_col, id_col, num_hashes, k).persist()
+    new_sig.count()
+    hits = (
+        _banded(new_sig, num_hashes, rows_per_band)
+        .join(idx, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("index_id").alias("nh"))
+    )
+    out = (
+        new_sig.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nh"), F.lit(0)).cast("bigint").alias("n_index_hits"),
+            F.when(F.col("nh").isNull(), 1).otherwise(0).cast("int").alias("is_new"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    new_sig.unpersist()
+    idx.unpersist()
+    return out
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
@@ -162,21 +236,7 @@ def lsh_candidate_pairs(
     # destroy (or fight with) any cache the caller set up on it.
     signatures = signatures.select("*").persist()
     signatures.count()
-    n_bands = num_hashes // rows_per_band
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "_", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = signatures.select("doc_id", F.explode(bands).alias("band")).select(
-        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
-    )
+    exploded = _banded(signatures, num_hashes, rows_per_band)
     a = exploded.alias("a")
     b = exploded.alias("b")
     out = (

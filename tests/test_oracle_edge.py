@@ -39,6 +39,7 @@ DOC_QUERIES = [
     "bpe_train_merges", "bpe_encode_counts",
     "winnow_fingerprints", "winnow_pairs", "blocklist_filter",
     "contamination_report", "source_stats", "source_filter",
+    "incremental_dedup",
 ]
 
 

@@ -1501,3 +1501,39 @@ def test_source_filter_gates_whole_domains(spark):
     thr = (stats["good.com"] + stats["spamfarm.net"]) / 2
     kept = {r["doc_id"] for r in source_filter(docs, min_mean_quality=thr).collect()}
     assert kept == {1, 2}  # doc 3 dropped with its domain
+
+
+def test_lsh_probe_dedup_flags_known_dup(spark):
+    """Incremental dedup: an incoming exact copy of an indexed document
+    collides in every band (is_new=0), a genuinely novel document collides
+    in none (is_new=1), and the probe agrees with the self-join
+    construction on the same split."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_probe_dedup,
+        minhash_signatures,
+    )
+
+    corpus_text = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, corpus_text), (2, "completely unrelated indexed content lives here quietly")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, corpus_text), (11, "fresh never seen words nowhere in any index at all")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lsh_probe_dedup(corpus, batch).collect()}
+    assert out[10]["is_new"] == 0 and out[10]["n_index_hits"] >= 1
+    assert out[11]["is_new"] == 1 and out[11]["n_index_hits"] == 0
+
+    # cross-check vs the self-join pairs over the union
+    both = corpus.unionByName(batch)
+    pairs = lsh_candidate_pairs(minhash_signatures(both), num_hashes=8, rows_per_band=2)
+    cross = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.collect()
+        if (r["doc_a"] < 10) != (r["doc_b"] < 10)
+    }
+    flagged = {d for d, r in out.items() if r["is_new"] == 0}
+    assert flagged == {b for a, b in cross if b >= 10} | {a for a, b in cross if a >= 10}
