@@ -68,9 +68,7 @@ def _sym_pairs(s_col) -> "F.Column":
         )
         return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
 
-    return let_bound(
-        F.split(F.expr("trim(BOTH '()' FROM s)"), r"\)\("), body
-    )
+    return let_bound(F.split(F.btrim(s_col, F.lit("()")), r"\)\("), body)
 
 
 def bpe_train(

@@ -611,7 +611,9 @@ def source_filter(
         F.col("mean_quality") >= min_mean_quality
     )
     return df.join(
-        F.broadcast(good.select("source")), "source", "left_semi"
+        F.broadcast(good.select(F.col("source").alias("__good_src"))),
+        df[source_col] == F.col("__good_src"),
+        "left_semi",
     ).select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
 
 

@@ -188,8 +188,10 @@ def lsh_probe_dedup(
     table that only ever gets appended to). Same signature family and
     banding as lsh_candidate_pairs.
 
-    Returns one row per batch document that has a signature (a doc with
-    no shingles has nothing to collide on):
+    Returns one row per batch document: every document — even empty text —
+    has a signature (shingles() yields the "" shingle for empty docs, so
+    an empty incoming doc collides with any empty indexed doc: exact-dup
+    semantics, the right verdict for a dedup gate).
     (doc_id, n_index_hits, is_new 0/1) — is_new=0 means some corpus
     document shares a band bucket (near-dup: drop or re-route).
     """

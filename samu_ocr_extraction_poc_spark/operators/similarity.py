@@ -165,10 +165,13 @@ def centroid_classify(
         .groupBy("vid", "true_label", "pred")
         .agg(F.sum(diff * diff).alias("d2"))
     )
-    w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("pred").asc())
+    # argmin via min(struct(d2, pred)) — the kmeans_assign convention:
+    # identical (d2 asc, pred asc) tie-break, partial-aggregable (no
+    # per-key sort of the N x k scored frame)
     best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        scored.groupBy("vid", "true_label")
+        .agg(F.min(F.struct("d2", "pred")).alias("m"))
+        .select("vid", "true_label", F.col("m.pred").alias("pred"))
     )
     return best.groupBy(
         F.col("true_label").cast("int").alias("true_label"),

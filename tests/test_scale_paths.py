@@ -1374,11 +1374,7 @@ def test_winnowing_guarantee_and_sampling_rate(spark):
     n_fp = winnow_fingerprints(corpus, k=4, w=5).count()
     from samu_ocr_extraction_poc_spark.operators.corpus import _kgrams
 
-    n_grams = (
-        corpus.select(F.explode(_kgrams(F.col("text"), 4)).alias("g"))
-        .select("g", F.col("g").alias("d"))
-        .count()
-    )
+    n_grams = corpus.select(F.explode(_kgrams(F.col("text"), 4)).alias("g")).count()
     assert n_fp < 0.5 * n_grams, (n_fp, n_grams)
 
 
