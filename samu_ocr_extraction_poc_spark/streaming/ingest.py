@@ -231,3 +231,50 @@ def stream_curate(
         )
         .where(F.col("quality") >= min_quality)
     )
+
+
+def stream_probe_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    corpus: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+):
+    """Streaming INCREMENTAL dedup against an already-indexed corpus (the
+    streaming form of operators/dedup.lsh_probe_dedup): each arriving
+    document's minhash band keys are computed ROW-LOCALLY (row_minhash —
+    no aggregation state), then the stream is anti-joined against the
+    static corpus band index once per band. A document survives iff NO
+    band key collides with any indexed document — exists-any-collision
+    expressed as ``n_bands`` chained stream-static left_anti equality
+    joins (supported by Structured Streaming; a per-doc hit-count
+    aggregation would need a watermarked stateful agg for the same
+    verdict). At a real deployment the static side is the persisted,
+    append-only band-index table.
+
+    Returns the streaming DataFrame of documents NOT already in the
+    corpus (the ones an ingest pipeline forwards).
+    """
+    from ..operators.dedup import _banded, minhash_signatures, row_minhash
+
+    n_bands = num_hashes // rows_per_band
+    idx = _banded(
+        minhash_signatures(corpus, num_hashes=num_hashes), num_hashes, rows_per_band
+    )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    sig_cols = row_minhash(F.col("text"), num_hashes=num_hashes)
+    out = docs.select("*", *sig_cols)
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "_", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        band_idx = idx.where(F.col("band_id") == b).select(
+            F.col("band_key").alias(f"__bk{b}")
+        )
+        out = out.withColumn(f"__k{b}", key).join(
+            band_idx, F.col(f"__k{b}") == F.col(f"__bk{b}"), "left_anti"
+        )
+    return out.drop(
+        *[f"h{i}" for i in range(num_hashes)], *[f"__k{b}" for b in range(n_bands)]
+    )

@@ -1533,3 +1533,46 @@ def test_lsh_probe_dedup_flags_known_dup(spark):
     }
     flagged = {d for d, r in out.items() if r["is_new"] == 0}
     assert flagged == {b for a, b in cross if b >= 10} | {a for a, b in cross if a >= 10}
+
+
+def test_stream_probe_dedup_matches_batch(spark, tmp_path):
+    """Streaming incremental dedup (stream-static anti joins against the
+    corpus band index): the streamed survivors are exactly the batch
+    lsh_probe_dedup's is_new=1 set on the same corpus/batch split."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import lsh_probe_dedup
+    from samu_ocr_extraction_poc_spark.streaming.ingest import stream_probe_dedup
+
+    base = (
+        "the fast key order sort table scan merge part window small hash "
+        "scan join order batch stream spark window dup data group query row"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base, "en", "s1", 10), (2, "some indexed corpus content here", "en", "s2", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    batch_rows = [
+        (10, base + " alpha", "en", "s3", 10),           # near-dup of doc 1
+        (11, "fresh unseen words nowhere indexed at all", "en", "s4", 10),
+        (12, "another genuinely new document body", "en", "s5", 10),
+    ]
+    batch = spark.createDataFrame(
+        batch_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    want_new = {
+        r["doc_id"] for r in lsh_probe_dedup(corpus, batch).collect() if r["is_new"] == 1
+    }
+    assert want_new == {11, 12}  # premise: the near-dup is flagged
+
+    d = str(tmp_path / "probe_stream")
+    batch.coalesce(1).write.mode("overwrite").parquet(d)
+    q = (
+        stream_probe_dedup(spark, d, corpus)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("probe_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM probe_out").collect()}
+    assert got == want_new
