@@ -71,6 +71,8 @@ HEADLINE = [
     "source_filter",
     # batch-ingest probe against the corpus band index (no self-join)
     "incremental_dedup",
+    # the continuation gates composed: blocklist ∧ source ∧ winnow-canonical
+    "curate_corpus_v2",
     "kmv_distinct",
     "kmv_overlap",
     "curate_corpus",

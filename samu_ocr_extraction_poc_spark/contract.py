@@ -1654,6 +1654,66 @@ FROM c
 # ---------------------------------------------------------------------------
 
 
+def curate_corpus_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3-continuation curation pipeline: intersection of the NEW
+    gates — blocklist (C4 badwords), domain-level source gate, and the
+    winnowing near-dup canonical gate (MOSS candidate pairs -> connected
+    components -> keep each cluster's minimum). Demonstrates the sampled
+    winnowing index feeding the same pairs->clusters->apply machinery the
+    LSH path uses. Composition = three left-semi joins on doc_id (gate
+    outputs are small; AQE broadcasts them)."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators import corpus as CP
+    from .operators import winnow as WN
+
+    bl = CP.blocklist_filter(docs, ["spark", "vector"], max_hits=2).select("doc_id")
+    src = CP.source_filter(docs, min_mean_quality=0.52).select("doc_id")
+    wp = WN.winnow_candidate_pairs(
+        docs, k=4, w=5, min_shared=2, max_df=20
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    canon = DD.keep_canonical(docs, wp).select("doc_id")
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(bl, "doc_id", "left_semi")
+        .join(src, "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+    )
+
+
+CURATE_V2_SQL = (
+    _WINNOW_CTES.replace("\nWITH vnorm AS", "\nWITH RECURSIVE vnorm AS", 1)
+    + """,
+vdf AS (SELECT fp, count(*) AS dfc FROM vfp GROUP BY fp),
+vflt AS (SELECT vfp.doc_id, vfp.fp FROM vfp JOIN vdf USING (fp) WHERE vdf.dfc <= 20),
+wpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM vflt a JOIN vflt b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM wpairs
+          UNION SELECT doc_b AS src, doc_a AS dst FROM wpairs),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (SELECT id, id FROM verts
+                 UNION SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+"""
+    + _QUALITY_CTES.lstrip()
+    + """,
+srcq AS (SELECT d.source, round(avg(qq.quality), 4) AS mean_quality
+         FROM qq JOIN documents d USING (doc_id) GROUP BY d.source),
+bltok AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tw
+ FROM documents)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN bltok ON bltok.doc_id = d.doc_id
+JOIN srcq ON srcq.source = d.source
+LEFT JOIN (SELECT id FROM comp WHERE id <> component) dr ON dr.id = d.doc_id
+WHERE len(list_filter(bltok.tw, t -> list_contains(['spark', 'vector'], t))) <= 2
+  AND srcq.mean_quality >= 0.52
+  AND dr.id IS NULL
+"""
+)
+
+
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical BM25 top-10 (operators/search.py) for a fixed keyword query
     over the documents corpus — the textual counterpart of embed_topk."""
@@ -2476,6 +2536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": kmv_distinct_q,
     "kmv_overlap": kmv_overlap_q,
     "curate_corpus": curate_corpus_q,
+    "curate_corpus_v2": curate_corpus_v2_q,
     "bm25_search": bm25_search,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
@@ -2556,6 +2617,7 @@ ORACLE_SQL: dict[str, str] = {
     "kmv_distinct": KMV_SQL,
     "kmv_overlap": KMV_OVERLAP_SQL,
     "curate_corpus": CURATE_SQL,
+    "curate_corpus_v2": CURATE_V2_SQL,
     "bm25_search": BM25_SQL,
     "embed_topk_cosine": EMBED_TOPK_SQL,
     "embed_ivf_topk": EMBED_IVF_SQL,

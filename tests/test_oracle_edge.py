@@ -38,7 +38,7 @@ DOC_QUERIES = [
     "segment_dedup", "dsir_weights", "dsir_select",
     "bpe_train_merges", "bpe_encode_counts",
     "winnow_fingerprints", "winnow_pairs", "blocklist_filter",
-    "contamination_report", "source_stats", "source_filter",
+    "contamination_report", "source_stats", "source_filter", "curate_corpus_v2",
     "incremental_dedup",
 ]
 
