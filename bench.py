@@ -73,6 +73,9 @@ HEADLINE = [
     "incremental_dedup",
     # the continuation gates composed: blocklist ∧ source ∧ winnow-canonical
     "curate_corpus_v2",
+    # narrow mixture upsampling + per-stratum top-ngram audit
+    "epoch_upsample",
+    "top_ngrams",
     "kmv_distinct",
     "kmv_overlap",
     "curate_corpus",

@@ -1303,6 +1303,48 @@ FROM cbest GROUP BY 1, 2
 """
 
 
+def epoch_upsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture upsampling (operators/corpus.py:epoch_upsample): English
+    documents get 3 epochs, German 2, everything else 1 — the repeat-
+    high-quality-strata pattern. Narrow explode, one row per copy."""
+    from .operators import corpus as CP
+
+    return CP.epoch_upsample(
+        _t(spark, sf_dir, "documents"), factors={"en": 3, "de": 2}, default_factor=1
+    )
+
+
+EPOCH_UPSAMPLE_SQL = """
+SELECT doc_id, lang AS stratum,
+       unnest(range(1, (CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 ELSE 1 END) + 1)) AS epoch
+FROM documents
+"""
+
+
+def top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 bigrams (operators/corpus.py:
+    top_ngrams_per_stratum) — grouped top-k via a PARTITIONED window
+    (never global), lexicographic tie-break."""
+    from .operators import corpus as CP
+
+    return CP.top_ngrams_per_stratum(_t(spark, sf_dir, "documents"), n=2, top_k=5)
+
+
+TOP_NGRAMS_SQL = """
+WITH tnorm AS (SELECT lang, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+tg2 AS (SELECT lang AS stratum,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                      i -> array_to_string(w[i:i+1], ' '))) AS g
+        FROM tnorm),
+tgc AS (SELECT stratum, g, CAST(count(*) AS BIGINT) AS cnt FROM tg2 GROUP BY 1, 2),
+trk AS (SELECT stratum, g, cnt,
+               row_number() OVER (PARTITION BY stratum ORDER BY cnt DESC, g ASC) AS rank
+        FROM tgc)
+SELECT stratum, CAST(rank AS INT) AS rank, g AS ngram, cnt
+FROM trk WHERE rank <= 5
+"""
+
+
 def winnow_fps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/winnow.py:winnow_fingerprints;
     Schleimer et al. 2003 — MOSS): distinct window-min 4-gram hashes,
@@ -2533,6 +2575,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_stats": source_stats_q,
     "source_filter": source_filter_q,
     "incremental_dedup": incremental_dedup_q,
+    "epoch_upsample": epoch_upsample_q,
+    "top_ngrams": top_ngrams_q,
     "kmv_distinct": kmv_distinct_q,
     "kmv_overlap": kmv_overlap_q,
     "curate_corpus": curate_corpus_q,
@@ -2614,6 +2658,8 @@ ORACLE_SQL: dict[str, str] = {
     "source_stats": SOURCE_STATS_SQL,
     "source_filter": SOURCE_FILTER_SQL,
     "incremental_dedup": INCREMENTAL_DEDUP_SQL,
+    "epoch_upsample": EPOCH_UPSAMPLE_SQL,
+    "top_ngrams": TOP_NGRAMS_SQL,
     "kmv_distinct": KMV_SQL,
     "kmv_overlap": KMV_OVERLAP_SQL,
     "curate_corpus": CURATE_SQL,

@@ -647,6 +647,64 @@ def blocklist_filter(
     )
 
 
+def epoch_upsample(
+    df: DataFrame,
+    factors: dict[str, int],
+    default_factor: int = 1,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixture UPSAMPLING: repeat each stratum's documents ``factor``
+    times — how training mixes give small high-quality strata multiple
+    epochs while the bulk web corpus gets one (the counterpart of
+    sample_documents' downsampling; a mixture spec needs both
+    directions). Pure narrow row multiplication (explode of a sequence,
+    no shuffle); the emitted ``epoch`` number keeps downstream shard
+    hashing stable per copy (hash on (doc_id, epoch), so copies spread
+    across shards instead of colliding).
+
+    Returns (doc_id, stratum, epoch) — one row per copy.
+    """
+    factor: Column = F.lit(default_factor)
+    for stratum, f in sorted(factors.items()):
+        factor = F.when(F.col(strat_col) == stratum, F.lit(f)).otherwise(factor)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strat_col).alias("stratum"),
+        F.explode(F.sequence(F.lit(1), factor)).alias("epoch"),
+    ).where(F.col("epoch") >= 1)
+
+
+def top_ngrams_per_stratum(
+    df: DataFrame,
+    n: int = 2,
+    top_k: int = 5,
+    text_col: str = "text",
+    strat_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum most-frequent word n-grams — the corpus-audit table
+    behind vocabulary drift / boilerplate monitoring. Grouped top-k via a
+    per-stratum window (partitioned — never global); ties broken
+    lexicographically so the cut is total and replayable.
+
+    Returns (stratum, rank, ngram, cnt).
+    """
+    counts = (
+        df.select(
+            F.col(strat_col).alias("stratum"),
+            F.explode(_kgrams(F.col(text_col), n)).alias("g"),
+        )
+        .groupBy("stratum", "g")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("stratum").orderBy(F.col("cnt").desc(), F.col("g").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("stratum", F.col("rank").cast("int").alias("rank"), F.col("g").alias("ngram"), "cnt")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,
