@@ -1576,3 +1576,122 @@ def test_stream_probe_dedup_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM probe_out").collect()}
     assert got == want_new
+
+
+BPE_BATTERY = [
+    ["a a a a"],                                  # single repeated 1-char word
+    ["ab ab ab ba ba", "ab ba ab"],               # tie-heavy pair counts
+    ["aaaa aaaa aa baaab"],                       # runs: greedy-left overlaps
+    ["x"],                                        # no pairs -> early stop
+    ["w1 w2 w3", "w1 w2", "w2 w3 w1"],            # digit-bearing words
+    ["the the th he he e t t", "then there"],     # nested prefixes
+]
+
+
+@pytest.mark.parametrize("texts", BPE_BATTERY)
+def test_bpe_battery_matches_python_reference(spark, texts):
+    """bpe_train pinned to the classic Python algorithm on an adversarial
+    corpus battery (ties, runs, early exhaustion, digits, prefixes) —
+    independent of the DuckDB oracle, which shares the SQL formulation."""
+    import collections
+    import re
+
+    from samu_ocr_extraction_poc_spark.operators.bpe import bpe_train
+
+    def ref_bpe(texts, n):
+        wf = collections.Counter()
+        for t in texts:
+            for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split():
+                if w:
+                    wf[w] += 1
+        vocab = {tuple(w): f for w, f in wf.items()}
+        merges = []
+        for idx in range(1, n + 1):
+            pc = collections.Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            mx = max(pc.values())
+            p = sorted(pr for pr, c in pc.items() if c == mx)[0]
+            merges.append((idx, p[0], p[1], p[0] + p[1], mx))
+            newv = {}
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == p[0] and syms[i + 1] == p[1]:
+                        out.append(p[0] + p[1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                newv[tuple(out)] = newv.get(tuple(out), 0) + f
+            vocab = newv
+        return merges
+
+    docs = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    assert [tuple(r) for r in bpe_train(docs, n_merges=6)] == ref_bpe(texts, 6)
+
+
+def test_segment_dedup_and_winnow_python_replay(spark):
+    """exact_segment_dedup and winnow_fingerprints pinned to independent
+    pure-Python replays on an adversarial corpus (shared prefixes, empty,
+    punctuation, a 60-token doc) — same 60-bit md5 convention."""
+    import hashlib
+
+    from samu_ocr_extraction_poc_spark.operators.corpus import exact_segment_dedup
+    from samu_ocr_extraction_poc_spark.operators.winnow import winnow_fingerprints
+
+    texts = {
+        1: "s1 s2 s3 s4 a b c d",
+        2: "s1 s2 s3 s4 p q",
+        3: "",
+        4: "s1 s2 s3 s4",
+        5: " ".join(f"t{i % 7}" for i in range(60)),
+        6: "Hello, World! HELLO world",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # --- segment dedup replay (seg_tokens=4, plain whitespace tokens) ---
+    first = {}
+    segs_by_doc = {}
+    for d in sorted(texts):
+        toks = texts[d].strip().split(" ") if texts[d].strip() else []
+        segs = [" ".join(toks[i : i + 4]) for i in range(0, len(toks), 4)]
+        segs_by_doc[d] = segs
+        for pos, seg in enumerate(segs):
+            first.setdefault(h60(seg), (d, pos))
+    want = {
+        d: " ".join(
+            seg for pos, seg in enumerate(segs) if first[h60(seg)] == (d, pos)
+        )
+        for d, segs in segs_by_doc.items()
+    }
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in exact_segment_dedup(docs, seg_tokens=4).collect()
+    }
+    assert got == want
+
+    # --- winnowing replay (k=3, w=4, normalized tokens) ---
+    import re
+
+    want_fp = {}
+    for d in sorted(texts):
+        toks = [w for w in re.sub(r"[^a-z0-9]+", " ", texts[d].lower()).split() if w]
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        hs = [h60(g) for g in grams]
+        if not hs:
+            continue
+        n_win = max(len(hs) - 3, 1)
+        want_fp[d] = {min(hs[i : i + 4]) for i in range(n_win)}
+    got_fp = {}
+    for r in winnow_fingerprints(docs, k=3, w=4).collect():
+        got_fp.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert got_fp == want_fp
