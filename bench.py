@@ -73,9 +73,10 @@ HEADLINE = [
     "incremental_dedup",
     # the continuation gates composed: blocklist ∧ source ∧ winnow-canonical
     "curate_corpus_v2",
-    # narrow mixture upsampling + per-stratum top-ngram audit
+    # narrow mixture upsampling + per-stratum top-ngram audit + exact-N sample
     "epoch_upsample",
     "top_ngrams",
+    "sample_exact_n",
     "kmv_distinct",
     "kmv_overlap",
     "curate_corpus",

@@ -1303,6 +1303,25 @@ FROM cbest GROUP BY 1, 2
 """
 
 
+def sample_exact_n_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sample (operators/corpus.py:sample_exact_n):
+    exactly 40 documents per language by md5 selection order — the
+    guaranteed-count counterpart of rate-based sample_documents. The
+    per-stratum window is partitioned (never global)."""
+    from .operators import corpus as CP
+
+    return CP.sample_exact_n(_t(spark, sf_dir, "documents"), n_per_stratum=40)
+
+
+SAMPLE_EXACT_N_SQL = """
+SELECT doc_id, text, lang, source, n_chars
+FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+      FROM documents)
+WHERE rk <= 40
+"""
+
+
 def epoch_upsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture upsampling (operators/corpus.py:epoch_upsample): English
     documents get 3 epochs, German 2, everything else 1 — the repeat-
@@ -2577,6 +2596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": incremental_dedup_q,
     "epoch_upsample": epoch_upsample_q,
     "top_ngrams": top_ngrams_q,
+    "sample_exact_n": sample_exact_n_q,
     "kmv_distinct": kmv_distinct_q,
     "kmv_overlap": kmv_overlap_q,
     "curate_corpus": curate_corpus_q,
@@ -2660,6 +2680,7 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "epoch_upsample": EPOCH_UPSAMPLE_SQL,
     "top_ngrams": TOP_NGRAMS_SQL,
+    "sample_exact_n": SAMPLE_EXACT_N_SQL,
     "kmv_distinct": KMV_SQL,
     "kmv_overlap": KMV_OVERLAP_SQL,
     "curate_corpus": CURATE_SQL,

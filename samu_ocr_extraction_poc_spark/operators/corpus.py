@@ -203,6 +203,32 @@ def sample_documents(
     return df.where(_md5_bucket(F.col(id_col), 8, denom) < rate)
 
 
+def sample_exact_n(
+    df: DataFrame,
+    n_per_stratum: int,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-size stratified sample: keep exactly ``n_per_stratum``
+    documents per stratum (or all, for smaller strata) — the "10k docs
+    per language" ask that rate-based sample_documents can only hit in
+    expectation. Selection order is the md5 of the id (uniform,
+    deterministic, no RNG), via a PARTITIONED top-k window — per-stratum,
+    never a global sort; ties are impossible (64-hex-char md5 of distinct
+    ids) but doc_id breaks them anyway so the cut is total.
+
+    Returns the kept rows (all input columns).
+    """
+    w = Window.partitionBy(strat_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, int],

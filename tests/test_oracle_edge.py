@@ -39,7 +39,7 @@ DOC_QUERIES = [
     "bpe_train_merges", "bpe_encode_counts",
     "winnow_fingerprints", "winnow_pairs", "blocklist_filter",
     "contamination_report", "source_stats", "source_filter", "curate_corpus_v2",
-    "incremental_dedup", "epoch_upsample", "top_ngrams",
+    "incremental_dedup", "epoch_upsample", "top_ngrams", "sample_exact_n",
 ]
 
 

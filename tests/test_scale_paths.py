@@ -1695,3 +1695,36 @@ def test_segment_dedup_and_winnow_python_replay(spark):
     for r in winnow_fingerprints(docs, k=3, w=4).collect():
         got_fp.setdefault(r["doc_id"], set()).add(r["fp"])
     assert got_fp == want_fp
+
+
+def test_sample_exact_n_counts_and_determinism(spark):
+    """Exact-size stratified sampling: every stratum yields exactly
+    min(n, stratum size) rows, repeated runs agree, and raising n nests
+    the samples (md5 order is a fixed permutation per stratum)."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import sample_exact_n
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    totals = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    out = sample_exact_n(docs, n_per_stratum=40)
+    counts = {r["lang"]: r["c"] for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert counts == {lang: min(40, t) for lang, t in totals.items()}
+    ids_40 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert ids_40 == {r["doc_id"] for r in sample_exact_n(docs, 40).select("doc_id").collect()}
+    ids_60 = {r["doc_id"] for r in sample_exact_n(docs, 60).select("doc_id").collect()}
+    assert ids_40 <= ids_60
+
+
+def test_winnow_max_df_cut_drops_ubiquitous_fingerprints(spark):
+    """A fingerprint present in more than max_df documents must generate
+    NO pairs (the ubiquity cut) even when every doc shares it."""
+    from samu_ocr_extraction_poc_spark.operators.winnow import winnow_candidate_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, f"{shared} filler{i}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    # all 5 docs share the run's fingerprints: with max_df=4 the shared
+    # fps are cut and no pair survives; with max_df=5 pairs appear
+    assert winnow_candidate_pairs(docs, k=4, w=5, min_shared=1, max_df=4).count() == 0
+    assert winnow_candidate_pairs(docs, k=4, w=5, min_shared=1, max_df=5).count() > 0
