@@ -179,6 +179,7 @@ def lsh_probe_dedup(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     k: int = 3,
+    eager: bool = True,
 ) -> DataFrame:
     """INCREMENTAL near-dup dedup: probe a NEW batch against the EXISTING
     corpus's minhash-LSH band index — the batch-ingest production shape
@@ -217,8 +218,11 @@ def lsh_probe_dedup(
             F.coalesce(F.col("nh"), F.lit(0)).cast("bigint").alias("n_index_hits"),
             F.when(F.col("nh").isNull(), 1).otherwise(0).cast("int").alias("is_new"),
         )
-        .localCheckpoint(eager=True)
     )
+    if not eager:
+        # plan-inspection hook (tests): caller owns the index caches
+        return out
+    out = out.localCheckpoint(eager=True)
     new_sig.unpersist()
     idx.unpersist()
     return out
@@ -513,6 +517,7 @@ def contamination_report(
     k: int = 16,
     max_df: int = 50,
     max_frac: float = 0.2,
+    eager: bool = True,
 ) -> DataFrame:
     """The decontamination DECISION table: one row per TEST document with
     its window totals, hit counts, contamination fraction, and the
@@ -547,17 +552,17 @@ def contamination_report(
     frac = F.round(
         F.coalesce(F.col("nh"), F.lit(0)) / F.col("n_windows"), 4
     )
-    out = (
-        totals.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_windows").cast("bigint").alias("n_windows"),
-            F.coalesce(F.col("nh"), F.lit(0)).cast("bigint").alias("n_windows_hit"),
-            frac.alias("contam_frac"),
-            F.when(frac <= max_frac, 1).otherwise(0).cast("int").alias("is_clean"),
-        )
-        .localCheckpoint(eager=True)
+    out = totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+        F.coalesce(F.col("nh"), F.lit(0)).cast("bigint").alias("n_windows_hit"),
+        frac.alias("contam_frac"),
+        F.when(frac <= max_frac, 1).otherwise(0).cast("int").alias("is_clean"),
     )
+    if not eager:
+        # plan-inspection hook (tests): caller owns the index caches
+        return out
+    out = out.localCheckpoint(eager=True)
     te.unpersist()
     tr.unpersist()
     return out

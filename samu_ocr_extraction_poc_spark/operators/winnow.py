@@ -74,6 +74,7 @@ def winnow_candidate_pairs(
     max_df: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eager: bool = True,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
     the MOSS match candidate generator. Same plan discipline as
@@ -102,8 +103,11 @@ def winnow_candidate_pairs(
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
-        .localCheckpoint(eager=True)
     )
+    if not eager:
+        # plan-inspection hook (tests): caller owns the index caches
+        return out
+    out = out.localCheckpoint(eager=True)
     filtered.unpersist()
     fps.unpersist()
     return out

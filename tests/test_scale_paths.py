@@ -1449,6 +1449,23 @@ def test_new_corpus_ops_plan_shapes(spark):
 
     win_plan = _plan(winnow_fingerprints(docs))
     assert "SinglePartition" not in win_plan
+
+    # the checkpointed pair ops' interiors (PLANS.md dumps them as scans)
+    from samu_ocr_extraction_poc_spark.operators.dedup import (
+        contamination_report,
+        lsh_probe_dedup,
+    )
+    from samu_ocr_extraction_poc_spark.operators.winnow import winnow_candidate_pairs
+
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test_side = docs.where(F.col("doc_id") % 2 == 1)
+    for plan in (
+        _plan(winnow_candidate_pairs(docs, eager=False)),
+        _plan(contamination_report(train, test_side, eager=False)),
+        _plan(lsh_probe_dedup(train, test_side, eager=False)),
+    ):
+        assert "SinglePartition" not in plan
+        assert "Window" not in plan
     spark.catalog.clearCache()  # release the eager=False test caches
 
 
