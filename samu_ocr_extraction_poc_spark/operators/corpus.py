@@ -214,7 +214,7 @@ def sample_exact_n(
     per language" ask that rate-based sample_documents can only hit in
     expectation. Selection order is the md5 of the id (uniform,
     deterministic, no RNG), via a PARTITIONED top-k window — per-stratum,
-    never a global sort; ties are impossible (64-hex-char md5 of distinct
+    never a global sort; ties are impossible (32-hex-char md5 of distinct
     ids) but doc_id breaks them anyway so the cut is total.
 
     Returns the kept rows (all input columns).
@@ -382,8 +382,9 @@ def exact_segment_dedup(
         )
         .select("doc_id", F.posexplode("segs").alias("pos", "seg"))
         .withColumn("h", token_md5_long(F.col("seg")))
-        .persist()
     )
+    if eager:
+        exploded.persist()
     first = exploded.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("f")
     )
@@ -416,7 +417,7 @@ def exact_segment_dedup(
         )
     )
     if not eager:
-        # plan-inspection hook (tests): caller owns the exploded cache
+        # plan-inspection hook (tests): nothing was persisted or executed
         return out
     out = out.localCheckpoint(eager=True)
     exploded.unpersist()
@@ -463,8 +464,9 @@ def dsir_importance(
         )
         .withColumn("b", _md5_bucket(F.col("g"), 8, n_buckets))
         .drop("g")
-        .persist()
     )
+    if eager:
+        feats.persist()
     raw_counts = feats.groupBy("b").agg(F.count("*").alias("r_cnt"))
     tgt_counts = feats.where(F.col("is_t")).groupBy("b").agg(
         F.count("*").alias("t_cnt")
@@ -495,7 +497,7 @@ def dsir_importance(
         F.round(F.avg("w"), 4).alias("dsir_logratio"),
     )
     if not eager:
-        # plan-inspection hook (tests): caller owns the feats cache
+        # plan-inspection hook (tests): nothing was persisted or executed
         return scored
     scored = scored.localCheckpoint(eager=True)
     feats.unpersist()
@@ -694,11 +696,17 @@ def epoch_upsample(
     factor: Column = F.lit(default_factor)
     for stratum, f in sorted(factors.items()):
         factor = F.when(F.col(strat_col) == stratum, F.lit(f)).otherwise(factor)
+    # sequence(1, 0) runs DESCENDING (the _kgrams guard): a factor <= 0
+    # must yield an EMPTY epoch list (stratum dropped from the mix), not
+    # a spurious epoch=1 copy
+    epochs = F.when(
+        factor >= 1, F.sequence(F.lit(1), factor)
+    ).otherwise(F.array().cast("array<int>"))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.col(strat_col).alias("stratum"),
-        F.explode(F.sequence(F.lit(1), factor)).alias("epoch"),
-    ).where(F.col("epoch") >= 1)
+        F.explode(epochs).alias("epoch"),
+    )
 
 
 def top_ngrams_per_stratum(

@@ -200,10 +200,13 @@ def lsh_probe_dedup(
         minhash_signatures(corpus, text_col, id_col, num_hashes, k),
         num_hashes,
         rows_per_band,
-    ).select(F.col("doc_id").alias("index_id"), "band_id", "band_key").persist()
-    idx.count()
-    new_sig = minhash_signatures(batch, text_col, id_col, num_hashes, k).persist()
-    new_sig.count()
+    ).select(F.col("doc_id").alias("index_id"), "band_id", "band_key")
+    new_sig = minhash_signatures(batch, text_col, id_col, num_hashes, k)
+    if eager:
+        idx.persist()
+        idx.count()
+        new_sig.persist()
+        new_sig.count()
     hits = (
         _banded(new_sig, num_hashes, rows_per_band)
         .join(idx, ["band_id", "band_key"])
@@ -220,7 +223,7 @@ def lsh_probe_dedup(
         )
     )
     if not eager:
-        # plan-inspection hook (tests): caller owns the index caches
+        # plan-inspection hook (tests): nothing was persisted or executed
         return out
     out = out.localCheckpoint(eager=True)
     new_sig.unpersist()
@@ -535,10 +538,13 @@ def contamination_report(
     """
     tr = doc_shingles(train, text_col, id_col, k).select(
         F.col("doc_id").alias("train_id"), "shingle"
-    ).persist()
-    tr.count()
-    te = doc_shingles(test, text_col, id_col, k).persist()
-    te.count()
+    )
+    te = doc_shingles(test, text_col, id_col, k)
+    if eager:
+        tr.persist()
+        tr.count()
+        te.persist()
+        te.count()
     totals = te.groupBy("doc_id").agg(
         F.countDistinct("shingle").alias("n_windows")
     )
@@ -560,7 +566,7 @@ def contamination_report(
         F.when(frac <= max_frac, 1).otherwise(0).cast("int").alias("is_clean"),
     )
     if not eager:
-        # plan-inspection hook (tests): caller owns the index caches
+        # plan-inspection hook (tests): nothing was persisted or executed
         return out
     out = out.localCheckpoint(eager=True)
     te.unpersist()

@@ -88,13 +88,17 @@ def winnow_candidate_pairs(
 
     Returns (id_a, id_b, n_shared).
     """
-    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col).persist()
-    fps.count()
+    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    if eager:
+        fps.persist()
+        fps.count()
     dfc = fps.groupBy("fp").agg(F.count("*").alias("df_cnt"))
     filtered = fps.join(dfc.where(F.col("df_cnt") <= max_df), "fp").select(
         "doc_id", "fp"
-    ).persist()
-    filtered.count()
+    )
+    if eager:
+        filtered.persist()
+        filtered.count()
     a = filtered.alias("a")
     b = filtered.alias("b")
     out = (
@@ -105,7 +109,7 @@ def winnow_candidate_pairs(
         .where(F.col("n_shared") >= min_shared)
     )
     if not eager:
-        # plan-inspection hook (tests): caller owns the index caches
+        # plan-inspection hook (tests): nothing was persisted or executed
         return out
     out = out.localCheckpoint(eager=True)
     filtered.unpersist()

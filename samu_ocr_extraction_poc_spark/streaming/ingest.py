@@ -236,9 +236,10 @@ def stream_curate(
 def stream_probe_dedup(
     spark: SparkSession,
     input_dir: str,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    band_index: DataFrame | None = None,
 ):
     """Streaming INCREMENTAL dedup against an already-indexed corpus (the
     streaming form of operators/dedup.lsh_probe_dedup): each arriving
@@ -249,8 +250,15 @@ def stream_probe_dedup(
     expressed as ``n_bands`` chained stream-static left_anti equality
     joins (supported by Structured Streaming; a per-doc hit-count
     aggregation would need a watermarked stateful agg for the same
-    verdict). At a real deployment the static side is the persisted,
-    append-only band-index table.
+    verdict).
+
+    Pass ``band_index`` (a (doc_id, band_id, band_key) frame — at a real
+    deployment the persisted, append-only band-index table, e.g. read
+    back from parquet) to probe an existing index. When only the raw
+    ``corpus`` is given, its index is built ONCE here, persisted and
+    eagerly materialized — otherwise every micro-batch would re-run the
+    corpus shingle+minhash pipeline once per band anti-join. The
+    persisted index lives for the query lifetime.
 
     Returns the streaming DataFrame of documents NOT already in the
     corpus (the ones an ingest pipeline forwards).
@@ -258,9 +266,16 @@ def stream_probe_dedup(
     from ..operators.dedup import _banded, minhash_signatures, row_minhash
 
     n_bands = num_hashes // rows_per_band
-    idx = _banded(
-        minhash_signatures(corpus, num_hashes=num_hashes), num_hashes, rows_per_band
-    )
+    if band_index is None:
+        if corpus is None:
+            raise ValueError("pass either corpus or band_index")
+        band_index = _banded(
+            minhash_signatures(corpus, num_hashes=num_hashes),
+            num_hashes,
+            rows_per_band,
+        ).persist()
+        band_index.count()
+    idx = band_index
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     docs = spark.readStream.schema(schema).parquet(input_dir)
     sig_cols = row_minhash(F.col("text"), num_hashes=num_hashes)

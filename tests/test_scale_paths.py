@@ -1745,3 +1745,20 @@ def test_winnow_max_df_cut_drops_ubiquitous_fingerprints(spark):
     # fps are cut and no pair survives; with max_df=5 pairs appear
     assert winnow_candidate_pairs(docs, k=4, w=5, min_shared=1, max_df=4).count() == 0
     assert winnow_candidate_pairs(docs, k=4, w=5, min_shared=1, max_df=5).count() > 0
+
+
+def test_epoch_upsample_zero_factor_drops_stratum(spark):
+    """A stratum factor of 0 must yield ZERO copies (stratum dropped from
+    the mix) — sequence(1, 0) runs DESCENDING, so the empty-array guard
+    is load-bearing (same trap as _kgrams)."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import epoch_upsample
+
+    docs = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "fr"), (3, "c", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = epoch_upsample(docs, factors={"en": 2, "fr": 0}, default_factor=1).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["stratum"], set()).add((r["doc_id"], r["epoch"]))
+    assert got == {"en": {(1, 1), (1, 2)}, "de": {(3, 1)}}  # fr fully dropped
