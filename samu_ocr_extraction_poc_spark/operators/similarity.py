@@ -179,6 +179,19 @@ def centroid_classify(
     ).agg(F.count("*").cast("bigint").alias("n"))
 
 
+def _kmeans_centroid_exprs(cent: list[tuple[int, list[float]]]) -> tuple[str, str]:
+    """(cluster-id array literal, centroid array-of-arrays literal) as SQL
+    text — ONE literal each (the embed_contamination lesson: thousands of
+    Column-API lit() calls cost seconds of driver time per call; a parsed
+    literal is free). Python float repr round-trips exactly and Spark
+    parses the decimal to the nearest double — the same value."""
+    ids_sql = "array(" + ",".join(str(c) for c, _ in cent) + ")"
+    cent_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")" for _, vec in cent
+    ) + ")"
+    return ids_sql, cent_sql
+
+
 def kmeans_assign(
     corpus: DataFrame,
     k: int = 8,
@@ -186,84 +199,90 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Relational Lloyd's k-means (iterative DataFrame algorithm): builds
-    the cluster labels the IVF path needs when the corpus ships none.
+    """Lloyd's k-means with NARROW assignment (iterative DataFrame
+    algorithm): builds the cluster labels the IVF path needs when the
+    corpus ships none.
 
-    Deterministic: seeds are the k smallest ids; each iteration is
-    assign (dim-join argmin of squared distance, centroids broadcast) +
-    recompute (avg per (cluster, dim)). Each iteration's centroid frame is
-    persisted — the lineage would otherwise recompute the whole chain per
-    step (the standard iterative-algorithm discipline; at scale you'd
-    checkpoint instead).
+    The centroid table is tiny (k x d doubles), so each iteration collects
+    it to the driver (the 1-row-argmax discipline BPE/CC use) and embeds
+    it as ONE array literal; assignment is then a row-local HOF argmin —
+    zip_with/aggregate squared distance against each centroid, first-min
+    position — with NO join, NO shuffle, and no N x d x k intermediate
+    (the earlier relational formulation pushed N·d·k rows through a
+    shuffle agg per iteration: the scale bottleneck at 10^9 vectors).
+    Only the centroid RECOMPUTE touches the cluster key — one
+    partial-aggregable explode-agg of N x d rows per iteration.
+
+    Deterministic: seeds are the k smallest ids; squared distance is a
+    sequential fold of (a-b)*(a-b) (plain multiply — IEEE-exact on both
+    engines); argmin tie-break is the FIRST minimum position over
+    ascending cluster ids = the lowest cluster id, exactly the relational
+    version's (d2 asc, cluster asc). Fold order differs from the oracle's
+    group-agg order only in FP summation order — the fixture's argmin
+    gaps dwarf that drift (the kmeans_clusters oracle argument; parity
+    pinned at both sf).
+
+    Size boundary: the literal path is for k x d up to ~10^6 values
+    (k ~ 16k clusters at 64 dims — every k this package uses). Beyond
+    that (SemDeDup at 10^9 vectors wants k ~ 10^5 x 768 dims), embed the
+    centroids as a BROADCAST table of (cluster, cvec array) rows and keep
+    the same row-local HOF argmin via a broadcast nested-loop of k rows —
+    still no N x d x k shuffle; only the literal transport changes.
 
     Returns (vec_id, cluster).
     """
-    from pyspark.sql.window import Window as W
+    from ..functions.textfns import let_bound
 
-    dims = corpus.select(
-        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("dim", "v")
-    ).withColumn("v", F.col("v").cast("double")).persist()
-
-    seeds = corpus.orderBy(id_col).limit(k).select(F.col(id_col).alias("seed_id"))
-    cent = (
-        dims.join(F.broadcast(seeds), dims.vid == seeds.seed_id)
-        .groupBy("seed_id", "dim")
-        .agg(F.first("v").alias("cval"))
-        .withColumn(
-            "cluster",
-            F.dense_rank().over(W.orderBy("seed_id")) - 1,
-        )
-        .select("cluster", "dim", "cval")
-        .persist()
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    cent = [
+        (i, list(r["v"]))
+        for i, r in enumerate(base.orderBy("vid").limit(k).collect())
+    ]
+
+    def _cluster_expr(cent):
+        ids_sql, cent_sql = _kmeans_centroid_exprs(cent)
+        d2s = F.expr(
+            f"transform({cent_sql}, c -> aggregate(zip_with(v, c,"
+            " (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x))"
+        )
+        # d2 array let-bound: array_position + array_min both read it —
+        # referencing the computed transform twice re-evaluates all k
+        # distance folds per access (the HOF trap)
+        return let_bound(
+            d2s,
+            lambda ds: F.element_at(
+                F.expr(ids_sql), F.array_position(ds, F.array_min(ds)).cast("int")
+            ),
+        )
 
     assign = None
     for it in range(iterations):
-        # (v-c)*(v-c), not (v-c)**2: Spark's ** lowers to pow(), whose last
-        # ulp may differ from DuckDB's pow — a plain multiply is IEEE-exact
-        # on both engines, keeping the distance replayable by the oracle.
-        diff = F.col("v") - F.col("cval")
-        scored = (
-            dims.join(F.broadcast(cent), "dim")
-            .groupBy("vid", "cluster")
-            .agg(F.sum(diff * diff).alias("d2"))
-        )
-        # argmin via min(struct(d2, cluster)) — lexicographic struct min on
-        # the same doubles = identical (d2 asc, cluster asc) tie-break as a
-        # row_number window, but partial-aggregable (map-side combine, no
-        # per-key sort) — the values are bit-identical, only the plan changes
-        assign = (
-            scored.groupBy("vid")
-            .agg(F.min(F.struct("d2", "cluster")).alias("m"))
-            .select("vid", F.col("m.cluster").alias("cluster"))
-        )
-        prev_cent = cent
+        cl = _cluster_expr(cent)
+        assign = base.select("vid", cl.alias("cluster"))
         if it < iterations - 1:
-            cent = (
-                dims.join(assign, "vid")
+            # recompute: one narrow explode + partial-agg avg per
+            # (cluster, dim), collected (k x d rows) for the next literal
+            rows = (
+                base.select(cl.alias("cluster"), F.posexplode("v").alias("dim", "val"))
                 .groupBy("cluster", "dim")
-                .agg(F.avg("v").alias("cval"))
-                .persist()
+                .agg(F.avg("val").alias("cval"))
+                .collect()
             )
-            # the new centroid frame no longer references the old one once
-            # materialized; eagerly count() then release the previous cache
-            # so N iterations hold O(1) cached frames, not O(N)
-            cent.count()
-            prev_cent.unpersist()
-        # final iteration: prev_cent is still read by the LAZY assign —
-        # unpersisting it here would force the whole Lloyd chain to
-        # recompute at materialization below; released after the checkpoint
-    # localCheckpoint (eager) materializes the final assignment AND cuts
-    # its lineage, so releasing dims/cent below cannot trigger a recompute;
-    # unlike persist() it leaves the CALLER no unpersist obligation — the
-    # checkpoint blocks are reclaimed by the ContextCleaner when the
-    # returned frame is dereferenced.
-    assign = assign.select(F.col("vid").alias(id_col), "cluster").localCheckpoint(
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["cval"]
+            cent = [
+                (c, [dims[d] for d in sorted(dims)])
+                for c, dims in sorted(by_cluster.items())
+            ]
+    # localCheckpoint (eager) materializes the final assignment and cuts
+    # lineage — the caller gets a plain frame with no unpersist obligation
+    return assign.select(F.col("vid").alias(id_col), "cluster").localCheckpoint(
         eager=True
     )
-    cent.unpersist()
-    dims.unpersist()
-    return assign
 
 
 QUANT_SCALE = 1_000_000  # fixed-point scale for sign-exact LSH (see below)
