@@ -151,29 +151,36 @@ def centroid_classify(
     the per-vector dim join + argmin is one partial-agg groupBy and a
     per-vector (not global) window. Returns (true_label, pred_label, n).
     """
-    cent = label_centroids(corpus, vec_col, label_col).select(
-        F.col("label").alias("pred"), "dim", "cval"
+    from ..functions.textfns import let_bound
+
+    # centroids are k x d doubles — collect once and embed as ONE array
+    # literal; classification becomes a row-local HOF argmin (the narrow
+    # kmeans_assign formulation: no join, no N x d x k shuffle agg).
+    # First-minimum position over ascending label ids = the lowest label
+    # among exact ties, the same (d2 asc, pred asc) rule as before.
+    rows = label_centroids(corpus, vec_col, label_col).collect()
+    by_label: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["cval"]
+    cent = [
+        (lab, [dims[d] for d in sorted(dims)]) for lab, dims in sorted(by_label.items())
+    ]
+    ids_sql, cent_sql = _kmeans_centroid_exprs(cent)
+    d2s = F.expr(
+        f"transform({cent_sql}, c -> aggregate(zip_with(v, c,"
+        " (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x))"
     )
-    dims = corpus.select(
-        F.col(id_col).alias("vid"),
+    pred = let_bound(
+        d2s,
+        lambda ds: F.element_at(
+            F.expr(ids_sql), F.array_position(ds, F.array_min(ds)).cast("int")
+        ),
+    )
+    base = corpus.select(
         F.col(label_col).alias("true_label"),
-        F.posexplode(vec_col).alias("dim", "v"),
-    ).withColumn("v", F.col("v").cast("double"))
-    diff = F.col("v") - F.col("cval")
-    scored = (
-        dims.join(F.broadcast(cent), "dim")
-        .groupBy("vid", "true_label", "pred")
-        .agg(F.sum(diff * diff).alias("d2"))
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    # argmin via min(struct(d2, pred)) — the kmeans_assign convention:
-    # identical (d2 asc, pred asc) tie-break, partial-aggregable (no
-    # per-key sort of the N x k scored frame)
-    best = (
-        scored.groupBy("vid", "true_label")
-        .agg(F.min(F.struct("d2", "pred")).alias("m"))
-        .select("vid", "true_label", F.col("m.pred").alias("pred"))
-    )
-    return best.groupBy(
+    return base.select("true_label", pred.alias("pred")).groupBy(
         F.col("true_label").cast("int").alias("true_label"),
         F.col("pred").cast("int").alias("pred_label"),
     ).agg(F.count("*").cast("bigint").alias("n"))
