@@ -1762,3 +1762,37 @@ def test_epoch_upsample_zero_factor_drops_stratum(spark):
     for r in out:
         got.setdefault(r["stratum"], set()).add((r["doc_id"], r["epoch"]))
     assert got == {"en": {(1, 1), (1, 2)}, "de": {(3, 1)}}  # fr fully dropped
+
+
+def test_fp_entries_invariant_to_shuffle_partition_count(spark):
+    """The oracle-parity design leans on 'FP summation-order drift washes
+    out in the round(4) output' — summation order is exactly what changes
+    when the partition count changes on a real cluster. Pin it: the
+    FP-heavy entries must produce IDENTICAL collected rows under
+    different spark.sql.shuffle.partitions settings."""
+    from samu_ocr_extraction_poc_spark.contract import QUERIES
+
+    names = [
+        "lm_surprise",
+        "dsir_weights",
+        "repetition_stats",
+        "kmeans_clusters",
+        "centroid_classify",
+    ]
+    def run_all():
+        out = {}
+        for n in names:
+            rows = QUERIES[n](spark, SF).collect()
+            out[n] = sorted(tuple(r) for r in rows)
+        return out
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = run_all()
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        b = run_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    for n in names:
+        assert a[n] == b[n], f"{n}: output depends on shuffle partition count"
