@@ -1594,6 +1594,25 @@ def test_stream_probe_dedup_matches_batch(spark, tmp_path):
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM probe_out").collect()}
     assert got == want_new
 
+    # pre-built index path: same survivors from a band_index frame the
+    # caller owns (the persisted-index-table deployment shape)
+    from samu_ocr_extraction_poc_spark.operators.dedup import _banded, minhash_signatures
+
+    idx = _banded(minhash_signatures(corpus), 8, 2).persist()
+    idx.count()
+    q2 = (
+        stream_probe_dedup(spark, d, band_index=idx)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("probe_out2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM probe_out2").collect()}
+    idx.unpersist()
+    assert got2 == want_new
+
 
 BPE_BATTERY = [
     ["a a a a"],                                  # single repeated 1-char word
