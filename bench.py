@@ -360,7 +360,7 @@ def main() -> None:
     scaling = run_scaling() if SCALING else None
 
     total = round(sum(queries.values()), 3)
-    result = {
+    full = {
         "metric": "headline suite wall time (extraction + dedup + similarity + relational)",
         "value": total,
         "unit": "sec",
@@ -375,9 +375,57 @@ def main() -> None:
         "cpus": CPUS,
     }
     if scaling:
-        result["scaling"] = scaling
-        result["docs_per_sec"] = scaling["local16"]["docs_per_sec"]
-    print(json.dumps(result))
+        full["scaling"] = scaling
+        full["docs_per_sec"] = scaling["local16"]["docs_per_sec"]
+
+    # Full per-query maps + scaling blocks go to a side file; the FINAL
+    # stdout line stays compact because the driver tail-captures only the
+    # last 2000 chars of output (BENCH_r03.json came back "parsed": null
+    # when the one-line form outgrew that window — VERDICT r3 item 2).
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(side, "w") as f:
+        json.dump(full, f, indent=1)
+
+    compact = {
+        "metric": "headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "value_median": full["value_median"],
+        "sf": sf,
+        "cpus": CPUS,
+        "detail": "BENCH_FULL.json",
+        "queries": {n: round(v, 2) for n, v in queries.items()},
+    }
+    if scaling:
+        compact["docs_per_sec"] = scaling["local16"]["docs_per_sec"]
+        sc = {
+            "local4_dps": scaling["local4"]["docs_per_sec"],
+            "local16_dps": scaling["local16"]["docs_per_sec"],
+            "eff": scaling["scaling_efficiency"],
+            "eff_median": scaling["scaling_efficiency_median"],
+            "eff_norm": scaling["scaling_efficiency_normalized"],
+            "ceiling": scaling["host_parallel_ceiling"],
+        }
+        if "shuffle_job" in scaling:
+            sc["shuffle_eff"] = scaling["shuffle_job"]["scaling_efficiency"]
+            sc["shuffle_eff_median"] = scaling["shuffle_job"][
+                "scaling_efficiency_median"
+            ]
+        compact["scaling"] = sc
+    line = json.dumps(compact, separators=(",", ":"))
+    # Hard cap with headroom under the 2000-char tail window: if the suite
+    # ever grows the queries map past the budget, keep only the slowest
+    # entries (full map is always in BENCH_FULL.json).
+    keep = len(compact["queries"])
+    while len(line) > 1800 and keep > 5:
+        keep -= 5
+        slowest = dict(
+            sorted(queries.items(), key=lambda kv: -kv[1])[:keep]
+        )
+        compact["queries"] = {n: round(v, 2) for n, v in slowest.items()}
+        compact["queries_truncated_to_slowest"] = keep
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -2538,27 +2538,80 @@ FROM c
 # Registry
 # ---------------------------------------------------------------------------
 
+# ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
+# checks only the FIRST 50 entries of this dict (insertion order), so the
+# window below is a deliberate rotation, pinned by
+# tests/test_oracle_parity.py::test_driver_window_priority_order —
+# update DRIVER_WINDOW_50 there in lockstep with any edit here.
+#
+# Window policy: (a) the reference-semantics flagship family first (the
+# queries that verify actual extraction behavior), (b) entries never yet
+# driver-checked in any round, (c) entries last checked only in r02,
+# (d) a rotating fill of long-stable core entries. Positions 51+ are
+# entries green in CORRECTNESS_r03 (all 81 stay under the local
+# driver-faithful gate at sf0.001+sf0.01 regardless of position).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- (a) flagship extraction family: Arrow engine + closed-form checks
+    "extract_pipeline": extract_pipeline,
+    "extract_routing_check": extract_routing_check,
+    "extract_letter_text_check": extract_letter_text_check,
+    "extract_email_text_check": extract_email_text_check,
+    "extract_transcript_text_check": extract_transcript_text_check,
+    "extract_html_text_check": extract_html_text_check,
+    "extract_pleading_medical_text_check": extract_pleading_medical_text_check,
+    "html_strip": html_strip_q,
+    # --- (b) never driver-checked before round 4
+    "embed_contamination": embed_contamination,
+    "centroid_classify": centroid_classify_q,
+    "contamination_report": contamination_report_q,
+    "source_stats": source_stats_q,
+    "source_filter": source_filter_q,
+    "incremental_dedup": incremental_dedup_q,
+    "epoch_upsample": epoch_upsample_q,
+    "top_ngrams": top_ngrams_q,
+    "sample_exact_n": sample_exact_n_q,
+    "kmv_distinct": kmv_distinct_q,
+    "kmv_overlap": kmv_overlap_q,
+    "curate_corpus": curate_corpus_q,
+    "curate_corpus_v2": curate_corpus_v2_q,
+    # --- (c) last driver-checked in r02 (rotated out by r03's 50-cap)
+    "kmeans_clusters": kmeans_clusters,
+    "xy_cut_layout": xy_cut_q,
+    "bm25_search": bm25_search,
+    "embed_topk_cosine": embed_topk_cosine,
+    "embed_ivf_topk": embed_ivf_topk,
+    "embed_quantized_topk": embed_quantized_topk,
+    "embed_blocked_top_pairs": embed_blocked_top_pairs,
+    "embed_hyperplane_pairs": embed_hyperplane_pairs,
+    # --- (d) rotating fill: one representative per long-stable family
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "topk_orders_per_customer": topk_orders_per_customer,
     "customers_without_orders": customers_without_orders,
+    "page_group_concat": page_group_concat,
+    "dedup_exact": dedup_exact,
+    "minhash_lsh_pairs": minhash_lsh_pairs_q,
+    "dedup_components_star": dedup_components_star,
+    "dedup_apply": dedup_apply,
+    "semantic_dedup": semantic_dedup_q,
+    "bpe_train_merges": bpe_train_q,
+    "winnow_pairs": winnow_pairs_q,
+    "segment_dedup": segment_dedup_q,
+    "dsir_select": dsir_select_q,
+    "events_hourly": events_hourly,
+    "user_sessions": user_sessions,
+    # ---------------- position 51+ (green in CORRECTNESS_r03) ----------------
     "rollup_revenue": rollup_revenue,
     "pivot_status_by_segment": pivot_status_by_segment,
     "running_customer_revenue": running_customer_revenue,
-    "page_group_concat": page_group_concat,
     "doc_digests": doc_digests,
     "money_normalize": money_normalize,
     "source_router": source_router,
     "first_seen_event_types": first_seen_event_types,
-    "dedup_exact": dedup_exact,
     "dedup_keepfirst": dedup_keepfirst,
     "minhash_signatures": minhash_signatures_q,
-    "minhash_lsh_pairs": minhash_lsh_pairs_q,
     "dedup_components": dedup_components,
-    "dedup_components_star": dedup_components_star,
-    "dedup_apply": dedup_apply,
     "simhash": simhash_q,
     "simhash_near_pairs": simhash_near_pairs,
     "props_parse": props_parse,
@@ -2580,46 +2633,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_surprise": lm_surprise_q,
     "lm_surprise_bigram": lm_surprise2_q,
     "boilerplate_strip": boilerplate_strip_q,
-    "segment_dedup": segment_dedup_q,
     "dsir_weights": dsir_weights_q,
-    "dsir_select": dsir_select_q,
-    "semantic_dedup": semantic_dedup_q,
-    "bpe_train_merges": bpe_train_q,
     "bpe_encode_counts": bpe_encode_q,
     "winnow_fingerprints": winnow_fps_q,
-    "winnow_pairs": winnow_pairs_q,
     "blocklist_filter": blocklist_filter_q,
-    "centroid_classify": centroid_classify_q,
-    "contamination_report": contamination_report_q,
-    "source_stats": source_stats_q,
-    "source_filter": source_filter_q,
-    "incremental_dedup": incremental_dedup_q,
-    "epoch_upsample": epoch_upsample_q,
-    "top_ngrams": top_ngrams_q,
-    "sample_exact_n": sample_exact_n_q,
-    "kmv_distinct": kmv_distinct_q,
-    "kmv_overlap": kmv_overlap_q,
-    "curate_corpus": curate_corpus_q,
-    "curate_corpus_v2": curate_corpus_v2_q,
-    "bm25_search": bm25_search,
-    "embed_topk_cosine": embed_topk_cosine,
-    "embed_ivf_topk": embed_ivf_topk,
-    "embed_quantized_topk": embed_quantized_topk,
-    "embed_blocked_top_pairs": embed_blocked_top_pairs,
-    "embed_hyperplane_pairs": embed_hyperplane_pairs,
-    "embed_contamination": embed_contamination,
-    "kmeans_clusters": kmeans_clusters,
-    "events_hourly": events_hourly,
-    "user_sessions": user_sessions,
-    "extract_pipeline": extract_pipeline,
-    "extract_routing_check": extract_routing_check,
-    "extract_letter_text_check": extract_letter_text_check,
-    "extract_email_text_check": extract_email_text_check,
-    "extract_transcript_text_check": extract_transcript_text_check,
-    "extract_html_text_check": extract_html_text_check,
-    "extract_pleading_medical_text_check": extract_pleading_medical_text_check,
-    "html_strip": html_strip_q,
-    "xy_cut_layout": xy_cut_q,
 }
 
 ORACLE_SQL: dict[str, str] = {
