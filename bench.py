@@ -53,6 +53,8 @@ HEADLINE = [
     "boilerplate_strip",
     # keep-first global segment dedup (RefinedWeb semantics)
     "segment_dedup",
+    # exact-substring dedup apply (Lee et al. window-cover removal)
+    "remove_shared_windows",
     # DSIR hashed-bigram importance scoring + top-k selection
     "dsir_select",
     # SemDeDup: learned-cluster-blocked embedding near-dup drop

@@ -1113,6 +1113,76 @@ LEFT JOIN sagg ON sagg.doc_id = d.doc_id
 """
 
 
+# 40 synthetic tokens appended to every 23rd document by
+# remove_shared_windows_q: a duplicated passage long enough (>= 2k-1
+# tokens at k=16) that its interior windows are corpus-wide duplicates,
+# guaranteeing the removal path is non-vacuous at every sf (the
+# pii_redact / semantic_dedup injection precedent).
+DUP_PASSAGE = " ".join(f"dupseg{i}" for i in range(40))
+
+
+def remove_shared_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLY (operators/dedup.py:
+    remove_shared_windows; Lee et al. 2022 removal semantics at 16-token
+    window granularity): tokens covered by a window whose exact content
+    occurred earlier (keep-first by (doc_id, start)) are stripped and each
+    document re-assembled in order. Completes the shared_window_pairs
+    candidate story with the step that actually cleans the corpus. Entry
+    appends a fixed 40-token passage to every 23rd document so the
+    duplicated-run removal provably fires; the oracle replays the
+    injection, the sliding windows, the 60-bit md5 keys, the
+    first-occurrence rule, interval cover and ordered re-assembly."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(F.col("text"), F.lit(" " + DUP_PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return DD.remove_shared_windows(docs, k=16)
+
+
+REMOVE_SHARED_SQL = f"""
+WITH rdocs AS (SELECT doc_id,
+                      CASE WHEN doc_id % 23 = 0 THEN text || ' {DUP_PASSAGE}'
+                           ELSE text END AS text
+               FROM documents),
+rt AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split(trim(text), ' ')) END AS n
+       FROM rdocs),
+rwin AS (SELECT doc_id,
+                unnest(range(1, n - 16 + 2)) AS s,
+                unnest(list_transform(range(1, n - 16 + 2),
+                       s -> array_to_string(w[s:s+15], ' '))) AS win
+         FROM rt WHERE n >= 16),
+rh AS (SELECT doc_id, s, ('0x' || substr(md5(win), 1, 15))::BIGINT AS h FROM rwin),
+rdup AS (SELECT doc_id, s
+         FROM (SELECT doc_id, s,
+                      row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+               FROM rh)
+         WHERE rn > 1),
+rrem AS (SELECT DISTINCT doc_id, p
+         FROM (SELECT doc_id, unnest(range(s, s + 16)) AS p FROM rdup)),
+rtok AS (SELECT doc_id, unnest(range(1, n + 1)) AS p, unnest(w) AS tok
+         FROM rt WHERE n > 0),
+rkeep AS (SELECT rtok.doc_id, rtok.p, rtok.tok, rrem.p IS NULL AS keep
+          FROM rtok LEFT JOIN rrem
+            ON rrem.doc_id = rtok.doc_id AND rrem.p = rtok.p),
+ragg AS (SELECT doc_id, count(*) AS n_tokens,
+                sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_rm,
+                string_agg(tok, ' ' ORDER BY p) FILTER (WHERE keep) AS clean_text
+         FROM rkeep GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(ragg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(ragg.n_rm, 0) AS BIGINT) AS n_removed,
+       coalesce(ragg.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN ragg ON ragg.doc_id = d.doc_id
+"""
+
+
 def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/corpus.py:dsir_importance; Xie
     et al. 2023, arXiv:2302.03169): hashed-bigram log-likelihood ratio of
@@ -2574,6 +2644,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_overlap": kmv_overlap_q,
     "curate_corpus": curate_corpus_q,
     "curate_corpus_v2": curate_corpus_v2_q,
+    # --- (b') new in round 4 (never driver-checked by construction)
+    "remove_shared_windows": remove_shared_windows_q,
     # --- (c) last driver-checked in r02 (rotated out by r03's 50-cap)
     "kmeans_clusters": kmeans_clusters,
     "xy_cut_layout": xy_cut_q,
@@ -2682,6 +2754,7 @@ ORACLE_SQL: dict[str, str] = {
     "lm_surprise_bigram": LM_SURPRISE2_SQL,
     "boilerplate_strip": BOILERPLATE_SQL,
     "segment_dedup": SEGMENT_DEDUP_SQL,
+    "remove_shared_windows": REMOVE_SHARED_SQL,
     "dsir_weights": DSIR_SQL,
     "dsir_select": DSIR_SELECT_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,

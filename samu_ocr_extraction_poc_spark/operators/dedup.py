@@ -469,6 +469,114 @@ def shared_window_pairs(
     return out
 
 
+def remove_shared_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    eager: bool = True,
+) -> DataFrame:
+    """Exact-substring dedup APPLY (completes the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" story that
+    :func:`shared_window_pairs` starts): every token covered by a k-token
+    sliding window whose exact content occurred EARLIER in the corpus is
+    removed; the corpus-wide first occurrence of each window survives.
+    "Earlier" is (doc_id, start) order — deterministic keep-first, the
+    RefinedWeb/deduplicate-text-datasets removal semantics at window
+    granularity (the suffix-array ">=50-token run" criterion maps to
+    cover-by-duplicated-k-window here; a run of length r >= k duplicated
+    elsewhere is covered by r-k+1 duplicated windows and removed wholly at
+    its later occurrences).
+
+    Plan shape at scale: sliding-window explode (stride 1, fan-out n-k+1
+    per doc; each window hashed to a 60-bit md5 key — O(n*k) chars hashed,
+    the price of exactness; raise the stride for a cheaper screen) ->
+    first-occurrence agg min(struct(doc_id, start)) per hash (two-phase
+    partial agg, md5-uniform keys, no skew) -> decision join on the hash ->
+    interval explode of duplicate windows (fan-out k per DUPLICATE only —
+    rare in clean corpora) -> one anti-style left join against the token
+    explode -> per-document ordered re-assembly (collect_list bounded by
+    doc size). No global window, no driver loop, no self-join: candidate
+    work is index-bounded exactly like shared_window_pairs.
+
+    Returns one row per input document:
+    (doc_id, n_tokens, n_removed, clean_text).
+    """
+    from ..functions.textfns import token_count, token_md5_long
+
+    n = token_count(F.col(text_col))
+    # sequence(1, 0) DESCENDS (the epoch_upsample/_kgrams trap): docs
+    # shorter than k tokens get an explicitly empty window array
+    win_hashes = let_bound(
+        tokens(F.col(text_col)),
+        lambda toks: F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda s: F.struct(
+                s.alias("s"),
+                token_md5_long(F.array_join(F.slice(toks, s, k), " ")).alias("h"),
+            ),
+        ),
+    )
+    wins = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.when(n >= k, win_hashes)
+            .otherwise(F.array().cast("array<struct<s:int,h:bigint>>"))
+            .alias("ws"),
+        )
+        .select("doc_id", F.explode("ws").alias("w"))
+        .select("doc_id", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+    )
+    if eager:
+        wins = wins.persist()
+        wins.count()
+    first = wins.groupBy("h").agg(F.min(F.struct("doc_id", "s")).alias("f"))
+    dup = (
+        wins.join(first, "h")
+        .where(~((F.col("doc_id") == F.col("f.doc_id")) & (F.col("s") == F.col("f.s"))))
+        .select("doc_id", "s")
+    )
+    removed = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("p")
+    ).distinct()
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.when(n > 0, tokens(F.col(text_col))).alias("ts"))
+        .select("doc_id", F.posexplode("ts").alias("p0", "tok"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    )
+    kept = toks.join(removed.withColumn("rm", F.lit(True)), ["doc_id", "p"], "left")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("rm"), 1).otherwise(0)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("p", "tok", "rm"))),
+                    lambda x: x["rm"].isNull(),
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+    if not eager:
+        # plan-inspection hook (tests): nothing was persisted or executed
+        return out
+    out = out.localCheckpoint(eager=True)
+    wins.unpersist()
+    return out
+
+
 def cross_corpus_contamination(
     train: DataFrame,
     test: DataFrame,

@@ -1215,6 +1215,37 @@ def test_exact_segment_dedup_keepfirst(spark):
     assert out[5]["clean_text"] == "" and out[5]["n_segments"] == 0
 
 
+def test_remove_shared_windows_semantics(spark):
+    """Exact-substring dedup APPLY (Lee et al. removal at window
+    granularity): a token is stripped iff covered by a k-window whose
+    content occurred earlier ((doc_id, start) keep-first) — including
+    WITHIN-document repeats; docs shorter than k and empty docs pass
+    through untouched."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import remove_shared_windows
+
+    run = "s1 s2 s3 s4 s5"  # 5-token run -> two k=4 windows
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run} a b c"),      # first occurrence: keeps everything
+            (2, f"x y {run} z"),      # later occurrence: run stripped
+            (3, "p q r"),             # shorter than k: no windows, untouched
+            (4, ""),                  # empty
+            (5, "m m m m m m"),       # within-doc repeat: windows 2,3 are dups
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_shared_windows(docs, k=4).collect()}
+    assert len(out) == 5
+    assert out[1]["clean_text"] == f"{run} a b c" and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "x y z"
+    assert (out[2]["n_tokens"], out[2]["n_removed"]) == (8, 5)
+    assert out[3]["clean_text"] == "p q r" and out[3]["n_removed"] == 0
+    assert (out[4]["n_tokens"], out[4]["n_removed"], out[4]["clean_text"]) == (0, 0, "")
+    # dup windows start at 2 and 3, covering positions 2..6: only the
+    # first token survives even though window 1 itself is the original
+    assert out[5]["clean_text"] == "m" and out[5]["n_removed"] == 5
+
+
 def test_dsir_ranks_target_language_highest(spark):
     """DSIR end-to-end sanity: with the English slice as the target, the
     mean importance weight of English documents must exceed every other
