@@ -2502,6 +2502,78 @@ GROUP BY doc_type
 """
 
 
+def extract_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled spans-ORDER check (VERDICT r3 item 8 — closes the last
+    non-oracled gap on the flagship): per document, an md5 fingerprint over
+    the ordered ``kind:offset`` sequence of the engine's out_spans. The
+    north-rule invariant is span-sequence equality (kind, text, media_ref,
+    order); the extract_*_check family already pins routing counts and text
+    byte totals, and this pins the ORDER and the 0..n-1 offset assignment.
+    DuckDB re-derives every family's exact output-kind sequence from the
+    synth rotation (fixtures.spans_from_text) and the re-interleave rules
+    (plans/pipeline.py:_reinterleave — line/page_break kept, media ->
+    ocr_text, html -> one 'text' per kept block [h1 + min(nl,6) <p>],
+    email/transcript/expense payload spans dropped) without running the
+    engine; doc_id itself is re-derived as sha256(key) (reference
+    generateId, lib/utils.ts:8-12)."""
+    from .fixtures import synth_corpus_from_documents
+    from .plans.pipeline import run_extraction
+
+    docs = synth_corpus_from_documents(_t(spark, sf_dir, "documents"))
+    res = run_extraction(docs)
+    fp = F.md5(
+        F.array_join(
+            F.transform(
+                F.col("out_spans"),
+                lambda s: F.concat_ws(":", s["kind"], s["offset"].cast("string")),
+            ),
+            ";",
+        )
+    )
+    return res.select("doc_id", "doc_type", fp.alias("span_order_md5"))
+
+
+EXTRACT_ORDER_SQL = """
+WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS key, text FROM documents),
+h AS (SELECT sha256(key) AS doc_id,
+             ('0x' || substr(sha256(key), 1, 8))::BIGINT AS hv,
+             CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nl
+      FROM base),
+kk AS (SELECT doc_id, hv,
+       CASE WHEN hv % 20 < 9 THEN 'correspondence_letter'
+            WHEN hv % 20 < 10 THEN 'correspondence_email'
+            WHEN hv % 20 < 13 THEN 'html'
+            WHEN hv % 20 < 15 THEN 'correspondence_transcript'
+            WHEN hv % 20 < 17 THEN 'pleading'
+            WHEN hv % 20 < 19 THEN 'medical'
+            ELSE 'correspondence_letter' END AS doc_type,
+       CASE
+         WHEN hv % 20 < 9 THEN
+           flatten(list_transform(range(0, CAST(nl AS INT)), i ->
+             CASE WHEN i % 5 = 0 THEN ['page_break', 'line'] ELSE ['line'] END))
+           || CASE WHEN hv % 3 = 0 THEN ['ocr_text'] ELSE [] END
+         WHEN hv % 20 < 10 THEN []
+         WHEN hv % 20 < 13 THEN
+           list_transform(range(0, 1 + CAST(least(nl, 6) AS INT)), i -> 'text')
+         WHEN hv % 20 < 15 THEN []
+         WHEN hv % 20 < 17 THEN
+           ['page_break'] || list_transform(range(0, 7 + CAST(least(nl, 5) AS INT)), i -> 'line')
+         WHEN hv % 20 = 17 THEN ['page_break', 'line']
+         WHEN hv % 20 = 18 THEN []
+         ELSE ['page_break'] || flatten(list_transform(range(0, CAST(least(nl, 4) AS INT)),
+                                        i -> ['line', 'ocr_text']))
+       END AS kl
+       FROM h)
+SELECT doc_id, doc_type,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
+       md5(coalesce(array_to_string(
+         list_transform(range(1, len(kl) + 1),
+                        i -> kl[i] || ':' || CAST(i - 1 AS VARCHAR)),
+         ';'), '')) AS span_order_md5
+FROM kk
+"""
+
+
 def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N8 boilerplate strip over deterministically synthesized HTML docs."""
     from .operators.html import strip_boilerplate as _sb
@@ -2646,6 +2718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus_v2": curate_corpus_v2_q,
     # --- (b') new in round 4 (never driver-checked by construction)
     "remove_shared_windows": remove_shared_windows_q,
+    "extract_order_check": extract_order_check,
     # --- (c) last driver-checked in r02 (rotated out by r03's 50-cap)
     "kmeans_clusters": kmeans_clusters,
     "xy_cut_layout": xy_cut_q,
@@ -2790,6 +2863,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_transcript_text_check": TRANSCRIPT_TEXT_SQL,
     "extract_html_text_check": HTML_TEXT_SQL,
     "extract_pleading_medical_text_check": PLEADING_MED_TEXT_SQL,
+    "extract_order_check": EXTRACT_ORDER_SQL,
     "xy_cut_layout": XY_CUT_SQL,
     "kmeans_clusters": KMEANS_SQL,
     # extract_pipeline / html_strip: Arrow-UDF wide-row engine ops ->
