@@ -171,8 +171,68 @@ def _banded(
     )
 
 
-def lsh_probe_dedup(
+def build_band_index(
     corpus: DataFrame,
+    location: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> None:
+    """Build and PERSIST the minhash-LSH band index (VERDICT r3 item 7 —
+    the amortization :func:`build_ivf_index` already gives the ANN path):
+    (index_id, band_id, band_key) written as one directory partition per
+    band, band_key-sorted within each, plus a 1-row meta table pinning the
+    signature-family parameters so probes can refuse a mismatched index.
+    Built ONCE per corpus; every subsequent batch ingest
+    (:func:`lsh_probe_dedup_indexed`) and streaming query
+    (streaming/ingest.stream_probe_dedup) probes the table instead of
+    re-running the corpus shingle+minhash pipeline, and the per-band
+    ``band_id = b`` filters prune the scan to single directories."""
+    idx = _banded(
+        minhash_signatures(corpus, text_col, id_col, num_hashes, k),
+        num_hashes,
+        rows_per_band,
+    ).select(F.col("doc_id").alias("index_id"), "band_id", "band_key")
+    n_bands = num_hashes // rows_per_band
+    (
+        idx.repartition(n_bands, "band_id")
+        .sortWithinPartitions("band_id", "band_key")
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(f"{location}/bands")
+    )
+    corpus.sparkSession.createDataFrame(
+        [(num_hashes, rows_per_band, k)], "num_hashes int, rows_per_band int, k int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{location}/meta")
+
+
+def load_band_index(
+    spark, location: str, num_hashes: int | None = None, rows_per_band: int | None = None
+) -> DataFrame:
+    """Read a persisted band index back as the (index_id, band_id,
+    band_key) frame the probe paths accept. When the caller states the
+    signature parameters it expects, a mismatch with the index's recorded
+    meta raises instead of silently probing incompatible band keys."""
+    meta = spark.read.parquet(f"{location}/meta").collect()[0]
+    if num_hashes is not None and meta["num_hashes"] != num_hashes:
+        raise ValueError(
+            f"band index at {location} was built with num_hashes="
+            f"{meta['num_hashes']}, probe expects {num_hashes}"
+        )
+    if rows_per_band is not None and meta["rows_per_band"] != rows_per_band:
+        raise ValueError(
+            f"band index at {location} was built with rows_per_band="
+            f"{meta['rows_per_band']}, probe expects {rows_per_band}"
+        )
+    return spark.read.parquet(f"{location}/bands").select(
+        "index_id", "band_id", "band_key"
+    )
+
+
+def lsh_probe_dedup(
+    corpus: DataFrame | None,
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -180,14 +240,18 @@ def lsh_probe_dedup(
     rows_per_band: int = 2,
     k: int = 3,
     eager: bool = True,
+    band_index: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup dedup: probe a NEW batch against the EXISTING
     corpus's minhash-LSH band index — the batch-ingest production shape
     (a self-join over corpus+batch would re-pair the whole history on
     every ingest; the probe join touches only batch x matching-bucket
-    rows, and at a real deployment the corpus band index is a persisted
-    table that only ever gets appended to). Same signature family and
-    banding as lsh_candidate_pairs.
+    rows). Same signature family and banding as lsh_candidate_pairs.
+
+    Pass ``band_index`` (an (index_id, band_id, band_key) frame, normally
+    :func:`load_band_index` over a :func:`build_band_index` table) to skip
+    rebuilding the corpus index — the amortized production path; giving
+    only ``corpus`` derives the index inline (one-shot exploratory use).
 
     Returns one row per batch document: every document — even empty text —
     has a signature (shingles() yields the "" shingle for empty docs, so
@@ -196,15 +260,25 @@ def lsh_probe_dedup(
     (doc_id, n_index_hits, is_new 0/1) — is_new=0 means some corpus
     document shares a band bucket (near-dup: drop or re-route).
     """
-    idx = _banded(
-        minhash_signatures(corpus, text_col, id_col, num_hashes, k),
-        num_hashes,
-        rows_per_band,
-    ).select(F.col("doc_id").alias("index_id"), "band_id", "band_key")
+    if band_index is not None:
+        idx = band_index.select("index_id", "band_id", "band_key")
+        own_index = False
+    else:
+        if corpus is None:
+            raise ValueError("pass either corpus or band_index")
+        idx = _banded(
+            minhash_signatures(corpus, text_col, id_col, num_hashes, k),
+            num_hashes,
+            rows_per_band,
+        ).select(F.col("doc_id").alias("index_id"), "band_id", "band_key")
+        own_index = True
     new_sig = minhash_signatures(batch, text_col, id_col, num_hashes, k)
     if eager:
-        idx.persist()
-        idx.count()
+        if own_index:
+            # only cache an index derived here: a caller-provided one is a
+            # table scan (or caller-managed cache) whose lifecycle is theirs
+            idx.persist()
+            idx.count()
         new_sig.persist()
         new_sig.count()
     hits = (
@@ -227,8 +301,36 @@ def lsh_probe_dedup(
         return out
     out = out.localCheckpoint(eager=True)
     new_sig.unpersist()
-    idx.unpersist()
+    if own_index:
+        idx.unpersist()
     return out
+
+
+def lsh_probe_dedup_indexed(
+    spark,
+    location: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """:func:`lsh_probe_dedup` against a PERSISTED index
+    (:func:`build_band_index`): reads the band table (meta-validated)
+    instead of recomputing the corpus signatures — each ingest pays only
+    for the batch side plus a bucket-join against the table scan."""
+    idx = load_band_index(spark, location, num_hashes, rows_per_band)
+    return lsh_probe_dedup(
+        None,
+        batch,
+        text_col,
+        id_col,
+        num_hashes,
+        rows_per_band,
+        k,
+        band_index=idx,
+    )
 
 
 def lsh_candidate_pairs(

