@@ -50,6 +50,8 @@ HEADLINE = [
     # pairs -> clusters -> surviving corpus (the row-returning apply step)
     "dedup_apply",
     "quality_filter",
+    # Gopher rule table (integer-exact composite filter)
+    "gopher_rules",
     "boilerplate_strip",
     # keep-first global segment dedup (RefinedWeb semantics)
     "segment_dedup",
@@ -165,9 +167,15 @@ def _dedup_shuffle_job(spark, corpus_dir: str) -> int:
 def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
     from samu_ocr_extraction_poc_spark.contract import QUERIES
 
-    # JIT/codegen warmup so the first timed query doesn't pay JVM warmup
+    # JIT/codegen warmup so the first timed query doesn't pay JVM warmup;
+    # the extract warmup also spins up the Arrow-stage PYTHON workers —
+    # measured ~3 s of one-time worker fork/import otherwise charged to the
+    # first extract_pipeline sample (5.2 s cold vs 1.7 s steady-state at
+    # sf0.1; the spin-up cost itself is covered by the scaling job's
+    # full-pass warmup discussion)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     QUERIES["q1_pricing_summary"](spark, SF_DIR).count()
+    QUERIES["extract_pipeline"](spark, SF_DIR).count()
 
     # Two passes, min per query: single samples on this shared host swing
     # up to 2-10x under transient tenant load (e.g. minhash_lsh_pairs

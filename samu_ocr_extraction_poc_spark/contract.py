@@ -1113,6 +1113,61 @@ LEFT JOIN sagg ON sagg.doc_id = d.doc_id
 """
 
 
+def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (operators/corpus.py:gopher_rules;
+    Rae et al. 2021 App. A1.1): per-document rule verdict table — word
+    count, mean word length, symbol ratio, alpha-word fraction, stopword
+    presence, bullet/ellipsis line fractions, and the composed keep flag.
+    Every threshold is cross-multiplied into integer arithmetic, so the
+    oracle replays bit-exactly (no FP, no rounding anywhere)."""
+    from .operators import corpus as CP
+
+    return CP.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+GOPHER_SQL = """
+WITH g AS (SELECT doc_id, text,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split(trim(text), ' ')) END AS n,
+                  string_split(trim(text), ' ') AS w,
+                  string_split(text, chr(10)) AS ln
+           FROM documents),
+s AS (SELECT doc_id, n,
+             list_aggregate(list_transform(w, t -> length(t)), 'sum') AS sum_len,
+             len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+             len(list_intersect(list_distinct(w),
+                 ['the','be','to','of','and','that','have','with'])) AS n_stop,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS n_dots,
+             len(ln) AS n_lines,
+             len(list_filter(ln, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'
+                                      OR ltrim(l) LIKE '•%')) AS n_bullet,
+             len(list_filter(ln, l -> rtrim(l) LIKE '%...')) AS n_ell
+      FROM g),
+f AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+             CASE WHEN n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS is_word_count_ok,
+             CASE WHEN n > 0 AND 3 * n <= sum_len AND sum_len <= 10 * n
+                  THEN 1 ELSE 0 END AS is_mean_len_ok,
+             CASE WHEN n > 0 AND 10 * (n_hash + n_dots) < n THEN 1 ELSE 0 END AS is_symbol_ok,
+             CASE WHEN n > 0 AND 5 * n_alpha > 4 * n THEN 1 ELSE 0 END AS is_alpha_ok,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS is_stop_ok,
+             CASE WHEN 10 * n_bullet < 9 * n_lines THEN 1 ELSE 0 END AS is_bullet_ok,
+             CASE WHEN 10 * n_ell < 3 * n_lines THEN 1 ELSE 0 END AS is_ellipsis_ok
+      FROM s)
+SELECT doc_id, n_words,
+       CAST(is_word_count_ok AS INT) AS is_word_count_ok,
+       CAST(is_mean_len_ok AS INT) AS is_mean_len_ok,
+       CAST(is_symbol_ok AS INT) AS is_symbol_ok,
+       CAST(is_alpha_ok AS INT) AS is_alpha_ok,
+       CAST(is_stop_ok AS INT) AS is_stop_ok,
+       CAST(is_bullet_ok AS INT) AS is_bullet_ok,
+       CAST(is_ellipsis_ok AS INT) AS is_ellipsis_ok,
+       CAST(is_word_count_ok * is_mean_len_ok * is_symbol_ok * is_alpha_ok
+            * is_stop_ok * is_bullet_ok * is_ellipsis_ok AS INT) AS keep
+FROM f
+"""
+
+
 # 40 synthetic tokens appended to every 23rd document by
 # remove_shared_windows_q: a duplicated passage long enough (>= 2k-1
 # tokens at k=16) that its interior windows are corpus-wide duplicates,
@@ -2719,6 +2774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (b') new in round 4 (never driver-checked by construction)
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
+    "gopher_rules": gopher_rules_q,
     # --- (c) last driver-checked in r02 (rotated out by r03's 50-cap)
     "kmeans_clusters": kmeans_clusters,
     "xy_cut_layout": xy_cut_q,
@@ -2828,6 +2884,7 @@ ORACLE_SQL: dict[str, str] = {
     "boilerplate_strip": BOILERPLATE_SQL,
     "segment_dedup": SEGMENT_DEDUP_SQL,
     "remove_shared_windows": REMOVE_SHARED_SQL,
+    "gopher_rules": GOPHER_SQL,
     "dsir_weights": DSIR_SQL,
     "dsir_select": DSIR_SELECT_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,

@@ -424,6 +424,107 @@ def exact_segment_dedup(
     return out
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 App. A1.1)
+    — the standard rule-based pre-training filter, as one narrow
+    projection over the scan. Every rule is INTEGER arithmetic (ratio
+    thresholds cross-multiplied: mean word length in [3,10] becomes
+    ``3n <= sum_len <= 10n``), so the DuckDB oracle replays bit-exactly
+    with no FP anywhere.
+
+    Rules (each an is_* 1/0 column, ``keep`` = all):
+    word count in [min_words, max_words]; mean word length in [3, 10];
+    '#'/'...' symbol-to-word ratio < 0.1; >80% of words contain an
+    alphabetic char; >=2 distinct Gopher stopwords; <90% of lines
+    bullet-started; <30% of lines ellipsis-ended. The line rules operate
+    on newline-split lines (single-line corpora satisfy them trivially —
+    they still run, and the edge suite feeds them multi-line text).
+    """
+    n = token_count(F.col(text_col))
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+
+    def tok_stats(toks: Column) -> Column:
+        return F.struct(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+            ).alias("sum_len"),
+            F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).alias("n_alpha"),
+            F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).alias("n_stop"),
+        )
+
+    st = let_bound(tokens(F.col(text_col)), tok_stats)
+
+    def line_stats(lines: Column) -> Column:
+        return F.struct(
+            F.size(lines).alias("n_lines"),
+            F.size(
+                F.filter(
+                    lines,
+                    lambda l: F.ltrim(l).startswith("-")
+                    | F.ltrim(l).startswith("*")
+                    | F.ltrim(l).startswith("•"),
+                )
+            ).alias("n_bullet"),
+            F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("..."))).alias("n_ell"),
+        )
+
+    ls = let_bound(F.split(F.col(text_col), "\n"), line_stats)
+    txt = F.col(text_col)
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_dots = (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / 3
+
+    def flag(cond: Column) -> Column:
+        return F.when(cond, 1).otherwise(0).cast("int")
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("bigint").alias("n_words"),
+        st.alias("st"),
+        ls.alias("ls"),
+        n_hash.cast("bigint").alias("n_hash"),
+        n_dots.cast("bigint").alias("n_dots"),
+    )
+    flags = base.select(
+        "doc_id",
+        "n_words",
+        flag(F.col("n_words").between(min_words, max_words)).alias("is_word_count_ok"),
+        flag(
+            (F.col("n_words") > 0)
+            & (3 * F.col("n_words") <= F.col("st.sum_len"))
+            & (F.col("st.sum_len") <= 10 * F.col("n_words"))
+        ).alias("is_mean_len_ok"),
+        flag(
+            (F.col("n_words") > 0)
+            & (10 * (F.col("n_hash") + F.col("n_dots")) < F.col("n_words"))
+        ).alias("is_symbol_ok"),
+        flag(
+            (F.col("n_words") > 0) & (5 * F.col("st.n_alpha") > 4 * F.col("n_words"))
+        ).alias("is_alpha_ok"),
+        flag(F.col("st.n_stop") >= 2).alias("is_stop_ok"),
+        flag(10 * F.col("ls.n_bullet") < 9 * F.col("ls.n_lines")).alias("is_bullet_ok"),
+        flag(10 * F.col("ls.n_ell") < 3 * F.col("ls.n_lines")).alias("is_ellipsis_ok"),
+    )
+    keep = (
+        F.col("is_word_count_ok")
+        * F.col("is_mean_len_ok")
+        * F.col("is_symbol_ok")
+        * F.col("is_alpha_ok")
+        * F.col("is_stop_ok")
+        * F.col("is_bullet_ok")
+        * F.col("is_ellipsis_ok")
+    ).cast("int")
+    return flags.select("*", keep.alias("keep"))
+
+
 def dsir_importance(
     df: DataFrame,
     target_col: str = "lang",

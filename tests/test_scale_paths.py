@@ -1323,6 +1323,40 @@ def test_remove_shared_windows_semantics(spark):
     assert out[5]["clean_text"] == "m" and out[5]["n_removed"] == 5
 
 
+def test_gopher_rules_semantics(spark):
+    """Gopher rules on crafted documents: each rule must fire on the text
+    shape it targets — including the newline-based bullet/ellipsis rules
+    the single-line driver corpus cannot exercise."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import gopher_rules
+
+    good = "the data goes to none of and that have with " + " ".join(
+        f"plain{i} words here" for i in range(20)
+    )
+    bullets = "\n".join(["- item one"] * 9 + ["a normal line"])  # 9/10 bullets
+    ellipses = "\n".join(["trailing off..."] * 4 + ["solid line"] * 6)  # 4/10
+    symbols = "the be " + "# " * 20 + "w " * 40
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, bullets),
+            (3, ellipses),
+            (4, symbols),
+            (5, ""),
+            (6, "the of " + "a " * 60),  # 1-char words: mean length < 3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs, min_words=10).collect()}
+    assert out[1]["keep"] == 1  # sanity: a clean doc passes everything
+    assert out[2]["is_bullet_ok"] == 0 and out[2]["is_ellipsis_ok"] == 1
+    assert out[3]["is_ellipsis_ok"] == 0 and out[3]["is_bullet_ok"] == 1
+    assert out[4]["is_symbol_ok"] == 0 and out[4]["is_stop_ok"] == 1
+    assert out[5]["n_words"] == 0 and out[5]["keep"] == 0
+    assert out[6]["is_mean_len_ok"] == 0
+    for d in (2, 3, 4, 6):
+        assert out[d]["keep"] == 0
+
+
 def test_dsir_ranks_target_language_highest(spark):
     """DSIR end-to-end sanity: with the English slice as the target, the
     mean importance weight of English documents must exceed every other
