@@ -50,8 +50,9 @@ HEADLINE = [
     # pairs -> clusters -> surviving corpus (the row-returning apply step)
     "dedup_apply",
     "quality_filter",
-    # Gopher rule table (integer-exact composite filter)
+    # Gopher + C4 rule tables (integer-exact canonical filters)
     "gopher_rules",
+    "c4_rules",
     "boilerplate_strip",
     # keep-first global segment dedup (RefinedWeb semantics)
     "segment_dedup",

@@ -1168,6 +1168,100 @@ FROM f
 """
 
 
+def c4_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (operators/corpus.py:c4_rules; Raffel et al.
+    2020 §2.2) over a deterministically re-lined corpus: the driver's
+    documents are single-line punctuation-free word streams, so the entry
+    rebuilds page structure the rules can bite on — 8-word lines,
+    '.'-terminated except every 3rd ((doc_id+i)%3==0), a lorem-ipsum line
+    on every 31st doc and a curly-brace code line on every 37th (the
+    injection precedent). Line filter (terminal punctuation AND >=5
+    words), sentence-count page gate, lorem/brace page drops; clean_text
+    returned for survivors. The oracle replays the construction and every
+    rule exactly — all integer/string comparisons, no FP."""
+    from .functions.textfns import let_bound, token_count, tokens
+    from .operators import corpus as CP
+
+    n = token_count(F.col("text"))
+    nl = F.ceil(n / F.lit(8.0)).cast("int")
+    lines = let_bound(
+        tokens(F.col("text")),
+        lambda toks: F.transform(
+            F.sequence(F.lit(1), nl),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, (i - 1) * 8 + 1, 8), " "),
+                F.when((F.col("doc_id") + i) % 3 == 0, F.lit("")).otherwise(F.lit(".")),
+            ),
+        ),
+    )
+    arr = F.when(n > 0, lines).otherwise(F.array().cast("array<string>"))
+    lorem = (
+        F.when(
+            F.col("doc_id") % 31 == 0,
+            F.array(F.lit("lorem ipsum dolor sit amet text here.")),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    brace = (
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.array(F.lit("var f = function() { return 1; }")),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    txt = F.array_join(F.concat(arr, lorem, brace), "\n")
+    structured = _t(spark, sf_dir, "documents").select("doc_id", txt.alias("text"))
+    return CP.c4_rules(structured)
+
+
+C4_SQL = """
+WITH ct AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split(trim(text), ' ')) END AS n
+            FROM documents),
+cla AS (SELECT doc_id,
+               CASE WHEN n > 0 THEN
+                 list_transform(range(1, CAST(ceil(n / 8.0) AS INT) + 1),
+                   i -> array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ')
+                        || CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END)
+               ELSE [] END
+               || CASE WHEN doc_id % 31 = 0
+                       THEN ['lorem ipsum dolor sit amet text here.'] ELSE [] END
+               || CASE WHEN doc_id % 37 = 0
+                       THEN ['var f = function() { return 1; }'] ELSE [] END AS la
+        FROM ct),
+-- join + re-split mirrors the Spark page round-trip exactly: an empty
+-- page splits to [''] (one empty line), not []
+cp AS (SELECT doc_id, coalesce(array_to_string(la, chr(10)), '') AS page FROM cla),
+cs AS (SELECT doc_id, page,
+              list_filter(string_split(page, chr(10)),
+                l -> (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+                      OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+                     AND (CASE WHEN length(trim(l)) = 0 THEN 0
+                               ELSE len(string_split(trim(l), ' ')) END) >= 5) AS kept,
+              len(string_split(page, chr(10))) AS n_lines
+       FROM cp),
+cx AS (SELECT doc_id, n_lines, len(kept) AS n_kept,
+              coalesce(array_to_string(kept, chr(10)), '') AS clean, page
+       FROM cs),
+cy AS (SELECT doc_id, n_lines, n_kept,
+              (length(clean) - length(replace(clean, '.', '')))
+            + (length(clean) - length(replace(clean, '!', '')))
+            + (length(clean) - length(replace(clean, '?', ''))) AS n_sent,
+              CASE WHEN contains(lower(page), 'lorem ipsum') THEN 1 ELSE 0 END AS hl,
+              CASE WHEN contains(page, '{') THEN 1 ELSE 0 END AS hb,
+              clean
+       FROM cx)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_kept AS BIGINT) AS n_kept_lines,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       CAST(hl AS INT) AS has_lorem, CAST(hb AS INT) AS has_brace,
+       CAST(CASE WHEN n_sent >= 3 AND hl = 0 AND hb = 0 THEN 1 ELSE 0 END AS INT) AS keep,
+       CASE WHEN n_sent >= 3 AND hl = 0 AND hb = 0 THEN clean ELSE '' END AS clean_text
+FROM cy
+"""
+
+
 # 40 synthetic tokens appended to every 23rd document by
 # remove_shared_windows_q: a duplicated passage long enough (>= 2k-1
 # tokens at k=16) that its interior windows are corpus-wide duplicates,
@@ -2775,6 +2869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
     "gopher_rules": gopher_rules_q,
+    "c4_rules": c4_rules_q,
     # --- (c) last driver-checked in r02 (rotated out by r03's 50-cap)
     "kmeans_clusters": kmeans_clusters,
     "xy_cut_layout": xy_cut_q,
@@ -2885,6 +2980,7 @@ ORACLE_SQL: dict[str, str] = {
     "segment_dedup": SEGMENT_DEDUP_SQL,
     "remove_shared_windows": REMOVE_SHARED_SQL,
     "gopher_rules": GOPHER_SQL,
+    "c4_rules": C4_SQL,
     "dsir_weights": DSIR_SQL,
     "dsir_select": DSIR_SELECT_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,

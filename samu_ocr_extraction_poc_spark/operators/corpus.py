@@ -525,6 +525,85 @@ def gopher_rules(
     return flags.select("*", keep.alias("keep"))
 
 
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+    — the other canonical rule-based filter next to :func:`gopher_rules`,
+    one narrow projection over the scan. Line level: keep only lines that
+    end in terminal punctuation (. ! ? ") after right-trim AND have at
+    least ``min_line_words`` words. Page level: drop the document when the
+    retained text has fewer than ``min_sentences`` sentence terminators,
+    or the ORIGINAL page mentions 'lorem ipsum' (case-insensitive) or
+    contains a curly brace (code). Bad-words filtering is its own
+    operator (blocklist_filter); three-sentence-span dedup is the segment
+    dedup family. All comparisons integer/string-exact — no FP.
+
+    Returns (doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, keep, clean_text) with clean_text = the retained lines
+    newline-joined when keep=1, else ''.
+    """
+    txt = F.col(text_col)
+
+    def line_keep(l: Column) -> Column:
+        r = F.rtrim(l)
+        ends = (
+            r.endswith(".") | r.endswith("!") | r.endswith("?") | r.endswith('"')
+        )
+        words = F.when(
+            F.length(F.trim(l)) == 0, F.lit(0)
+        ).otherwise(F.size(F.split(F.trim(l), " ")))
+        return ends & (words >= min_line_words)
+
+    def stats(lines: Column) -> Column:
+        kept = F.filter(lines, line_keep)
+        clean = F.array_join(kept, "\n")
+        n_sent = sum(
+            F.length(clean) - F.length(F.replace(clean, F.lit(c), F.lit("")))
+            for c in (".", "!", "?")
+        )
+        return F.struct(
+            F.size(lines).alias("n_lines"),
+            F.size(kept).alias("n_kept"),
+            n_sent.cast("bigint").alias("n_sent"),
+            clean.alias("clean"),
+        )
+
+    st = let_bound(F.split(txt, "\n"), stats)
+    has_lorem = F.when(F.lower(txt).contains("lorem ipsum"), 1).otherwise(0).cast("int")
+    has_brace = F.when(txt.contains("{"), 1).otherwise(0).cast("int")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        st.alias("st"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+    )
+    keep = (
+        F.when(
+            (F.col("st.n_sent") >= min_sentences)
+            & (F.col("has_lorem") == 0)
+            & (F.col("has_brace") == 0),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    return base.select(
+        "doc_id",
+        F.col("st.n_lines").cast("bigint").alias("n_lines"),
+        F.col("st.n_kept").cast("bigint").alias("n_kept_lines"),
+        F.col("st.n_sent").alias("n_sentences"),
+        "has_lorem",
+        "has_brace",
+        keep.alias("keep"),
+        F.when(keep == 1, F.col("st.clean")).otherwise(F.lit("")).alias("clean_text"),
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     target_col: str = "lang",

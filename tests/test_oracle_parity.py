@@ -161,6 +161,7 @@ DRIVER_WINDOW_50 = [
     "top_ngrams", "sample_exact_n", "kmv_distinct", "kmv_overlap",
     "curate_corpus", "curate_corpus_v2",
     "remove_shared_windows", "extract_order_check", "gopher_rules",
+    "c4_rules",
     "kmeans_clusters", "xy_cut_layout", "bm25_search", "embed_topk_cosine",
     "embed_ivf_topk", "embed_quantized_topk", "embed_blocked_top_pairs",
     "embed_hyperplane_pairs",
@@ -170,7 +171,6 @@ DRIVER_WINDOW_50 = [
     "dedup_components_star", "dedup_apply", "semantic_dedup",
     "bpe_train_merges", "winnow_pairs", "segment_dedup", "dsir_select",
     "events_hourly", "user_sessions",
-    "rollup_revenue",
 ]
 
 

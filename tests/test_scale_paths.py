@@ -1357,6 +1357,43 @@ def test_gopher_rules_semantics(spark):
         assert out[d]["keep"] == 0
 
 
+def test_c4_rules_semantics(spark):
+    """C4 heuristics on crafted pages: line filter (terminal punctuation
+    AND >=5 words), the 3-sentence page gate, lorem-ipsum and brace page
+    drops, and the '\"'-terminated-line acceptance."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import c4_rules
+
+    good = "\n".join(
+        [
+            "this is a fine sentence one.",
+            "and here is sentence number two!",
+            'he said this line ends with a quote"',
+            "a third proper sentence closes the page?",
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short.\nalso tiny!\nthree words only."),  # lines < 5 words
+            (3, "five words but no terminal punctuation at all\nanother line without ending"),
+            (4, good + "\nsome Lorem Ipsum filler appears here."),
+            (5, good + "\nif (x) { return; }"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_rules(docs).collect()}
+    assert out[1]["keep"] == 1 and out[1]["n_kept_lines"] == 4
+    assert out[1]["clean_text"] == good  # the quote line survives
+    assert out[1]["n_sentences"] == 3  # . ! ? (the quote adds none)
+    assert out[2]["keep"] == 0 and out[2]["n_kept_lines"] == 0
+    assert out[3]["keep"] == 0 and out[3]["n_kept_lines"] == 0
+    assert out[4]["keep"] == 0 and out[4]["has_lorem"] == 1
+    assert out[4]["clean_text"] == ""  # dropped pages return no text
+    assert out[5]["keep"] == 0 and out[5]["has_brace"] == 1
+    assert (out[6]["n_lines"], out[6]["keep"]) == (1, 0)  # ''.split -> ['']
+
+
 def test_dsir_ranks_target_language_highest(spark):
     """DSIR end-to-end sanity: with the English slice as the target, the
     mean importance weight of English documents must exceed every other
