@@ -1127,9 +1127,9 @@ def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GOPHER_SQL = """
 WITH g AS (SELECT doc_id, text,
-                  CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(string_split(trim(text), ' ')) END AS n,
-                  string_split(trim(text), ' ') AS w,
+                  CASE WHEN length(trim(replace(text, chr(10), ' '))) = 0 THEN 0
+                       ELSE len(string_split(trim(replace(text, chr(10), ' ')), ' ')) END AS n,
+                  string_split(trim(replace(text, chr(10), ' ')), ' ') AS w,
                   string_split(text, chr(10)) AS ln
            FROM documents),
 s AS (SELECT doc_id, n,

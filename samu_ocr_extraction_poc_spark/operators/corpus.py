@@ -447,9 +447,14 @@ def gopher_rules(
     alphabetic char; >=2 distinct Gopher stopwords; <90% of lines
     bullet-started; <30% of lines ellipsis-ended. The line rules operate
     on newline-split lines (single-line corpora satisfy them trivially —
-    they still run, and the edge suite feeds them multi-line text).
+    they still run, and the edge suite feeds them multi-line text). Word
+    stats tokenize over newline-FLATTENED text: a single-space split of
+    the raw page would fuse the words around every line break into one
+    pseudo-word, skewing exactly the multi-line pages the line rules
+    target (review r4 finding).
     """
-    n = token_count(F.col(text_col))
+    flat = F.replace(F.col(text_col), F.lit("\n"), F.lit(" "))
+    n = token_count(flat)
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
 
     def tok_stats(toks: Column) -> Column:
@@ -461,7 +466,7 @@ def gopher_rules(
             F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).alias("n_stop"),
         )
 
-    st = let_bound(tokens(F.col(text_col)), tok_stats)
+    st = let_bound(tokens(flat), tok_stats)
 
     def line_stats(lines: Column) -> Column:
         return F.struct(
@@ -554,10 +559,7 @@ def c4_rules(
         ends = (
             r.endswith(".") | r.endswith("!") | r.endswith("?") | r.endswith('"')
         )
-        words = F.when(
-            F.length(F.trim(l)) == 0, F.lit(0)
-        ).otherwise(F.size(F.split(F.trim(l), " ")))
-        return ends & (words >= min_line_words)
+        return ends & (token_count(l) >= min_line_words)
 
     def stats(lines: Column) -> Column:
         kept = F.filter(lines, line_keep)

@@ -209,23 +209,26 @@ def build_band_index(
 
 
 def load_band_index(
-    spark, location: str, num_hashes: int | None = None, rows_per_band: int | None = None
+    spark,
+    location: str,
+    num_hashes: int | None = None,
+    rows_per_band: int | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Read a persisted band index back as the (index_id, band_id,
     band_key) frame the probe paths accept. When the caller states the
-    signature parameters it expects, a mismatch with the index's recorded
-    meta raises instead of silently probing incompatible band keys."""
+    signature parameters it expects — including the shingle size ``k``,
+    which changes the key space just as much as the hash family — a
+    mismatch with the index's recorded meta raises instead of silently
+    probing incompatible band keys (which would never collide and wave
+    every duplicate through as new)."""
     meta = spark.read.parquet(f"{location}/meta").collect()[0]
-    if num_hashes is not None and meta["num_hashes"] != num_hashes:
-        raise ValueError(
-            f"band index at {location} was built with num_hashes="
-            f"{meta['num_hashes']}, probe expects {num_hashes}"
-        )
-    if rows_per_band is not None and meta["rows_per_band"] != rows_per_band:
-        raise ValueError(
-            f"band index at {location} was built with rows_per_band="
-            f"{meta['rows_per_band']}, probe expects {rows_per_band}"
-        )
+    for name, want in (("num_hashes", num_hashes), ("rows_per_band", rows_per_band), ("k", k)):
+        if want is not None and meta[name] != want:
+            raise ValueError(
+                f"band index at {location} was built with {name}="
+                f"{meta[name]}, probe expects {want}"
+            )
     return spark.read.parquet(f"{location}/bands").select(
         "index_id", "band_id", "band_key"
     )
@@ -317,10 +320,11 @@ def lsh_probe_dedup_indexed(
     k: int = 3,
 ) -> DataFrame:
     """:func:`lsh_probe_dedup` against a PERSISTED index
-    (:func:`build_band_index`): reads the band table (meta-validated)
-    instead of recomputing the corpus signatures — each ingest pays only
-    for the batch side plus a bucket-join against the table scan."""
-    idx = load_band_index(spark, location, num_hashes, rows_per_band)
+    (:func:`build_band_index`): reads the band table (meta-validated,
+    including the shingle size) instead of recomputing the corpus
+    signatures — each ingest pays only for the batch side plus a
+    bucket-join against the table scan."""
+    idx = load_band_index(spark, location, num_hashes, rows_per_band, k)
     return lsh_probe_dedup(
         None,
         batch,
@@ -582,13 +586,18 @@ def remove_shared_windows(
     Training Data Makes Language Models Better" story that
     :func:`shared_window_pairs` starts): every token covered by a k-token
     sliding window whose exact content occurred EARLIER in the corpus is
-    removed; the corpus-wide first occurrence of each window survives.
-    "Earlier" is (doc_id, start) order — deterministic keep-first, the
-    RefinedWeb/deduplicate-text-datasets removal semantics at window
-    granularity (the suffix-array ">=50-token run" criterion maps to
-    cover-by-duplicated-k-window here; a run of length r >= k duplicated
-    elsewhere is covered by r-k+1 duplicated windows and removed wholly at
-    its later occurrences).
+    removed. "Earlier" is (doc_id, start) order — deterministic
+    keep-first, the RefinedWeb/deduplicate-text-datasets removal
+    semantics at window granularity (the suffix-array ">=50-token run"
+    criterion maps to cover-by-duplicated-k-window here; a run of length
+    r >= k duplicated ELSEWHERE is covered by r-k+1 duplicated windows
+    and removed wholly at its later occurrences, while its first
+    occurrence survives intact). Caveat, pinned by test: a SELF-
+    overlapping periodic run (period < k, e.g. 'm m m m m m' at k=4)
+    keeps only its first k-window's first token(s) — the later in-doc
+    window occurrences are duplicates and their cover reaches back into
+    the first occurrence; cover-removal trades that sliver of the
+    canonical copy for never splicing half-removed runs.
 
     Plan shape at scale: sliding-window explode (stride 1, fan-out n-k+1
     per doc; each window hashed to a 60-bit md5 key — O(n*k) chars hashed,

@@ -151,6 +151,15 @@ def decode_bmp(content: bytes) -> tuple[int, int, bytes]:
     top_down = height_raw < 0
     height = abs(height_raw)
     row_size = (width * 3 + 3) & ~3
+    # validate the claimed dimensions against the actual payload BEFORE
+    # allocating width*height*3 bytes: a corrupt header claiming 60000x60000
+    # would otherwise commit a multi-GB zero-filled buffer and OOM the
+    # Python worker — a crash, not the per-row error the poison-blob
+    # discipline promises
+    if width <= 0 or height == 0:
+        raise ValueError("invalid BMP dimensions")
+    if data_offset + height * row_size > len(content):
+        raise ValueError("truncated BMP pixel data for claimed dimensions")
     rgb = bytearray(width * height * 3)
     for row_no in range(height):
         y = row_no if top_down else height - 1 - row_no
@@ -235,10 +244,22 @@ def _real_decode(content: bytes, media_type: str) -> dict:
     """Real pure-stdlib decode, dispatched on magic bytes: P6 PPM / 24-bit
     BMP images, PCM WAV audio, and concatenated-P6 streams as the video
     container (every frame header+pixel parsed; features from frame 0).
+    The decoded container must agree with the row's declared media_type
+    (P6 streams may be image or video) — a mislabeled blob raises rather
+    than silently handing, say, pixel statistics to an audio consumer.
     Raises ValueError on bytes that are not one of the supported
-    containers — at scale the caller routes those rows to an error column,
-    the poison-document discipline of plans/pipeline.py."""
+    containers — the caller routes those rows to the error column, the
+    poison-document discipline of plans/pipeline.py."""
+
+    def _check_type(decoded_kinds: tuple[str, ...]) -> None:
+        if media_type not in decoded_kinds:
+            raise ValueError(
+                f"declared media_type {media_type!r} but content decodes as "
+                f"{'/'.join(decoded_kinds)}"
+            )
+
     if content[:2] == b"P6":
+        _check_type(("image", "video"))
         frames = []
         off = 0
         while off < len(content) and content[off : off + 2] == b"P6":
@@ -252,6 +273,7 @@ def _real_decode(content: bytes, media_type: str) -> dict:
             "feature": _image_features(width, height, rgb),
         }
     if content[:2] == b"BM":
+        _check_type(("image",))
         width, height, rgb = decode_bmp(content)
         return {
             "width": width,
@@ -260,6 +282,7 @@ def _real_decode(content: bytes, media_type: str) -> dict:
             "feature": _image_features(width, height, rgb),
         }
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        _check_type(("audio",))
         duration_ms, n_samples, vals = decode_wav(content)
         return {
             "width": 0,

@@ -142,6 +142,19 @@ def test_media_poison_blob_degrades_to_error_row(spark):
          {"mime": "image/x-fake", "width": None, "height": None, "duration_ms": None}),
         ("trunc", "d3", "image", b"P6\n9 9\n255\nxx",
          {"mime": "image/x-portable-pixmap", "width": None, "height": None, "duration_ms": None}),
+        # corrupt BMP header claiming 60000x60000 over a few bytes: must be
+        # a caught error row, never a multi-GB allocation in the worker
+        ("bigbmp", "d4", "image",
+         b"BM" + b"\x00" * 8 + (54).to_bytes(4, "little")
+         + (40).to_bytes(4, "little") + (60000).to_bytes(4, "little")
+         + (60000).to_bytes(4, "little") + (1).to_bytes(2, "little")
+         + (24).to_bytes(2, "little") + (0).to_bytes(4, "little") + b"\x00" * 20,
+         {"mime": "image/bmp", "width": None, "height": None, "duration_ms": None}),
+        # declared audio but the bytes are an image: the mismatch must
+        # surface in the error column, not hand pixel stats to an audio
+        # consumer
+        ("mislabel", "d5", "audio", _ep(2, 2, bytes(12)),
+         {"mime": "audio/wav", "width": None, "height": None, "duration_ms": None}),
     ]
     from samu_ocr_extraction_poc_spark.sources.media import MEDIA_SCHEMA
 
@@ -150,6 +163,8 @@ def test_media_poison_blob_degrades_to_error_row(spark):
     assert out["ok"]["error"] is None and out["ok"]["width"] == 2
     assert out["bad"]["error"] and out["bad"]["feature"] is None
     assert "truncated" in out["trunc"]["error"]
+    assert "truncated BMP" in out["bigbmp"]["error"]
+    assert "media_type" in out["mislabel"]["error"] and out["mislabel"]["feature"] is None
 
 
 def test_frame_sample_and_resize(spark):
@@ -1877,6 +1892,10 @@ def test_band_index_roundtrip_and_pruning(spark, tmp_path):
         load_band_index(spark, loc, num_hashes=16)
     with pytest.raises(ValueError, match="rows_per_band"):
         load_band_index(spark, loc, rows_per_band=4)
+    # k changes the key space just as much: a k=5 probe against a k=3
+    # index would never collide and wave every duplicate through
+    with pytest.raises(ValueError, match="k="):
+        lsh_probe_dedup_indexed(spark, loc, batch, k=5)
 
     plan = _plan(load_band_index(spark, loc).where(F.col("band_id") == 2))
     assert "PartitionFilters" in plan
