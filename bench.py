@@ -53,6 +53,8 @@ HEADLINE = [
     # Gopher + C4 rule tables (integer-exact canonical filters)
     "gopher_rules",
     "c4_rules",
+    # canonical-URL keep-first dedup (one hash agg)
+    "url_dedup",
     "boilerplate_strip",
     # keep-first global segment dedup (RefinedWeb semantics)
     "segment_dedup",

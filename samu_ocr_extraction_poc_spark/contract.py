@@ -1262,6 +1262,69 @@ FROM cy
 """
 
 
+def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (functions/textfns.py:normalize_url) — the
+    CommonCrawl/C4 pipeline step that precedes any content dedup: dedup
+    by canonical URL. The entry synthesizes URL variants deterministically
+    from doc_id (www. prefix on every 3rd, trailing slash on evens,
+    tracking params '?utm_source=feed&ref=rss' on %5==0, a real param
+    mixed with a tracking one on %5==1, '#frag' on every 7th; host
+    site{id%%50}.example, path /path/{id%%200}) so documents congruent
+    mod 200 canonicalize identically across all variant decorations.
+    Keep-first per canonical URL: (canonical_url, keep_id, n_dups)."""
+    d = F.col("doc_id")
+    u = F.concat(
+        F.lit("https://"),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (d % 50).cast("string"),
+        F.lit(".example/path/"),
+        (d % 200).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("?utm_source=feed&ref=rss"))
+        .when(d % 5 == 1, F.lit("?id=9&utm_medium=x"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.normalize_url(u).alias("canonical_url")
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").cast("bigint").alias("n_dups"),
+    )
+
+
+URL_DEDUP_SQL = """
+WITH u AS (SELECT doc_id,
+  'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+  || 'site' || CAST(doc_id % 50 AS VARCHAR)
+  || '.example/path/' || CAST(doc_id % 200 AS VARCHAR)
+  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=rss'
+          WHEN doc_id % 5 = 1 THEN '?id=9&utm_medium=x' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+ FROM documents),
+n1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM u),
+n2 AS (SELECT doc_id, split_part(nofrag, '?', 1) AS base,
+              CASE WHEN contains(nofrag, '?')
+                   THEN split_part(nofrag, '?', 2) ELSE '' END AS q
+       FROM n1),
+n3 AS (SELECT doc_id,
+              regexp_replace(replace(base, '://www.', '://'), '/+$', '') AS cb,
+              list_filter(string_split(q, '&'),
+                p -> p <> '' AND NOT (starts_with(p, 'utm_')
+                     OR starts_with(p, 'ref=') OR starts_with(p, 'fbclid='))) AS kept
+       FROM n2)
+SELECT CASE WHEN len(kept) > 0 THEN cb || '?' || array_to_string(kept, '&')
+            ELSE cb END AS canonical_url,
+       min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM n3
+GROUP BY 1
+"""
+
+
 # 40 synthetic tokens appended to every 23rd document by
 # remove_shared_windows_q: a duplicated passage long enough (>= 2k-1
 # tokens at k=16) that its interior windows are corpus-wide duplicates,
@@ -2870,6 +2933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_order_check": extract_order_check,
     "gopher_rules": gopher_rules_q,
     "c4_rules": c4_rules_q,
+    "url_dedup": url_dedup_q,
     # --- (c) last driver-checked in r02 (rotated out by r03's 50-cap)
     "kmeans_clusters": kmeans_clusters,
     "xy_cut_layout": xy_cut_q,
@@ -2981,6 +3045,7 @@ ORACLE_SQL: dict[str, str] = {
     "remove_shared_windows": REMOVE_SHARED_SQL,
     "gopher_rules": GOPHER_SQL,
     "c4_rules": C4_SQL,
+    "url_dedup": URL_DEDUP_SQL,
     "dsir_weights": DSIR_SQL,
     "dsir_select": DSIR_SELECT_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,

@@ -101,6 +101,40 @@ def lang_id(col: Column) -> Column:
     return let_bound(tokens(col), body)
 
 
+# tracking params stripped by normalize_url — the standard CC-pipeline
+# blocklist prefixes (utm_* campaign tags, ref referrers, fbclid)
+TRACKING_PARAM_PREFIXES = ("utm_", "ref=", "fbclid=")
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL for URL-level dedup (the CommonCrawl/C4 pipeline
+    convention — dedup by canonical URL before any content dedup):
+    drop the #fragment, strip tracking query params (TRACKING_PARAM_
+    PREFIXES; the remaining params keep their order — no reordering, so
+    '?b=1&a=2' and '?a=2&b=1' stay distinct, deliberately conservative),
+    collapse the 'www.' host prefix, and trim trailing slashes. Pure
+    Column expressions; replayed exactly by the DuckDB oracle."""
+    nofrag = F.substring_index(col, "#", 1)
+    parts = F.split(nofrag, "[?]", 2)
+    base = F.element_at(parts, 1)
+    query = F.when(F.size(parts) > 1, F.element_at(parts, 2)).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~(
+            p.startswith(TRACKING_PARAM_PREFIXES[0])
+            | p.startswith(TRACKING_PARAM_PREFIXES[1])
+            | p.startswith(TRACKING_PARAM_PREFIXES[2])
+        ),
+    )
+    canon_base = F.regexp_replace(
+        F.replace(base, F.lit("://www."), F.lit("://")), "/+$", ""
+    )
+    return F.when(
+        F.size(kept) > 0, F.concat(canon_base, F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(canon_base)
+
+
 def quality_score(col: Column) -> Column:
     """Composite quality score in [0,1]:
     0.4*distinct-token ratio + 0.4*min(1, stopword_ratio*5) + 0.2*length gate

@@ -1372,6 +1372,29 @@ def test_gopher_rules_semantics(spark):
         assert out[d]["keep"] == 0
 
 
+def test_normalize_url_semantics(spark):
+    """URL canonicalization edge shapes: fragment drop, tracking-param
+    strip (order of survivors preserved), www collapse, trailing-slash
+    trim, and no false positives on www-like hosts or 'ref'-prefixed
+    VALUES."""
+    from samu_ocr_extraction_poc_spark.functions.textfns import normalize_url
+
+    cases = [
+        ("https://www.site.com/a/b/?utm_source=x&id=3#frag", "https://site.com/a/b?id=3"),
+        ("http://site.com/", "http://site.com"),
+        ("https://site.com/p?ref=rss&fbclid=abc", "https://site.com/p"),
+        ("https://site.com/p?b=2&a=1", "https://site.com/p?b=2&a=1"),  # order kept
+        ("https://wwwx.com/x", "https://wwwx.com/x"),  # not a www. prefix
+        ("https://site.com/p?referrer=keep", "https://site.com/p"),  # ref= prefix... no:
+    ]
+    # 'referrer=keep' starts with 'ref' but NOT with 'ref=' — must be kept
+    cases[-1] = ("https://site.com/p?referrer=keep", "https://site.com/p?referrer=keep")
+    df = spark.createDataFrame([(u, want) for u, want in cases], "url string, want string")
+    out = df.select("url", "want", normalize_url(F.col("url")).alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["want"], f"{r['url']}: {r['got']} != {r['want']}"
+
+
 def test_c4_rules_semantics(spark):
     """C4 heuristics on crafted pages: line filter (terminal punctuation
     AND >=5 words), the 3-sentence page gate, lorem-ipsum and brace page
