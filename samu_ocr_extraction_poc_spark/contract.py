@@ -1307,8 +1307,11 @@ WITH u AS (SELECT doc_id,
  FROM documents),
 n1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM u),
 n2 AS (SELECT doc_id, split_part(nofrag, '?', 1) AS base,
+              -- everything after the FIRST '?' (split_part would drop a
+              -- second '?' inside a param value; Spark takes substr after
+              -- instr — mirror it)
               CASE WHEN contains(nofrag, '?')
-                   THEN split_part(nofrag, '?', 2) ELSE '' END AS q
+                   THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS q
        FROM n1),
 n3 AS (SELECT doc_id,
               regexp_replace(replace(base, '://www.', '://'), '/+$', '') AS cb,

@@ -115,9 +115,15 @@ def normalize_url(col: Column) -> Column:
     collapse the 'www.' host prefix, and trim trailing slashes. Pure
     Column expressions; replayed exactly by the DuckDB oracle."""
     nofrag = F.substring_index(col, "#", 1)
-    parts = F.split(nofrag, "[?]", 2)
-    base = F.element_at(parts, 1)
-    query = F.when(F.size(parts) > 1, F.element_at(parts, 2)).otherwise(F.lit(""))
+    base = F.substring_index(nofrag, "?", 1)
+    # everything after the FIRST '?' — including any further '?' inside
+    # param values (a limit-2 split would keep them but DuckDB's
+    # split_part would not; substr-after-strpos means the same thing in
+    # both engines, keeping the oracle replay bit-exact)
+    qpos = F.instr(nofrag, "?")
+    query = F.when(
+        qpos > 0, nofrag.substr(qpos + F.lit(1), F.length(nofrag))
+    ).otherwise(F.lit(""))
     kept = F.filter(
         F.split(query, "&"),
         lambda p: (p != "")

@@ -109,6 +109,11 @@ def decode_ppm(content: bytes, offset: int = 0) -> tuple[int, int, bytes, int]:
     width, height, maxval = fields
     if maxval != 255:
         raise ValueError("only maxval 255 supported")
+    if width <= 0 or height <= 0:
+        # same guard class as decode_bmp: negative dims would otherwise
+        # "succeed" with garbage ((-1)*(-1)*3 = 3 bytes) — an error row,
+        # never a silent nonsense row
+        raise ValueError("invalid PPM dimensions")
     n = width * height * 3
     rgb = content[pos : pos + n]
     if len(rgb) != n:
@@ -265,6 +270,13 @@ def _real_decode(content: bytes, media_type: str) -> dict:
         while off < len(content) and content[off : off + 2] == b"P6":
             width, height, rgb, off = decode_ppm(content, off)
             frames.append((width, height, rgb))
+        if off < len(content):
+            # a partially-consumed stream (corrupt later frame magic /
+            # trailing garbage) must surface as an error row, not a
+            # silent undercounted n_frames
+            raise ValueError(
+                f"trailing non-P6 bytes at offset {off} in P6 stream"
+            )
         width, height, rgb = frames[0]
         return {
             "width": width,

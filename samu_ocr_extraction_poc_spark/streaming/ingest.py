@@ -241,6 +241,7 @@ def stream_probe_dedup(
     rows_per_band: int = 2,
     band_index: DataFrame | None = None,
     return_index: bool = False,
+    index_location: str | None = None,
 ):
     """Streaming INCREMENTAL dedup against an already-indexed corpus (the
     streaming form of operators/dedup.lsh_probe_dedup): each arriving
@@ -253,12 +254,18 @@ def stream_probe_dedup(
     aggregation would need a watermarked stateful agg for the same
     verdict).
 
-    Pass ``band_index`` to probe an existing index — the PREFERRED
-    production path: ``operators.dedup.load_band_index`` over a
-    ``build_band_index`` table (the per-band ``band_id = b`` filters then
-    prune the scan to one directory partition each), with the table's
-    lifecycle owned by its storage, not this query. When only the raw
-    ``corpus`` is given, its index is built ONCE here, persisted and
+    Pass ``index_location`` (a ``build_band_index`` table) to probe a
+    persisted index — the PREFERRED production path: the read is
+    META-VALIDATED against this query's num_hashes/rows_per_band, so a
+    parameter-mismatched index raises instead of silently never
+    colliding (every duplicate waved through as "new"); the per-band
+    ``band_id = b`` filters prune the scan to one directory partition
+    each, and the table's lifecycle is owned by its storage, not this
+    query. ``band_index`` accepts an already-loaded frame instead — the
+    caller then owns BOTH its lifecycle AND the parameter handshake
+    (load it via ``load_band_index(spark, loc, num_hashes,
+    rows_per_band)`` with explicit params, never bare). When only the
+    raw ``corpus`` is given, its index is built ONCE here, persisted and
     eagerly materialized — otherwise every micro-batch would re-run the
     corpus shingle+minhash pipeline once per band anti-join. That
     persisted frame lives until explicitly released (ADVICE r3): call
@@ -270,12 +277,23 @@ def stream_probe_dedup(
     corpus (the ones an ingest pipeline forwards) — or a
     ``(stream, band_index)`` pair when ``return_index=True``.
     """
-    from ..operators.dedup import _banded, minhash_signatures, row_minhash
+    from ..operators.dedup import (
+        _banded,
+        load_band_index,
+        minhash_signatures,
+        row_minhash,
+    )
 
     n_bands = num_hashes // rows_per_band
+    if index_location is not None:
+        if band_index is not None:
+            raise ValueError("pass index_location or band_index, not both")
+        band_index = load_band_index(
+            spark, index_location, num_hashes=num_hashes, rows_per_band=rows_per_band
+        )
     if band_index is None:
         if corpus is None:
-            raise ValueError("pass either corpus or band_index")
+            raise ValueError("pass corpus, band_index, or index_location")
         band_index = _banded(
             minhash_signatures(corpus, num_hashes=num_hashes),
             num_hashes,

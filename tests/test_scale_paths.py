@@ -155,6 +155,13 @@ def test_media_poison_blob_degrades_to_error_row(spark):
         # consumer
         ("mislabel", "d5", "audio", _ep(2, 2, bytes(12)),
          {"mime": "audio/wav", "width": None, "height": None, "duration_ms": None}),
+        # negative header dims would otherwise "succeed" with garbage
+        ("negppm", "d6", "image", b"P6\n-1 -1\n255\n123",
+         {"mime": "image/x-portable-pixmap", "width": None, "height": None, "duration_ms": None}),
+        # a video stream with a corrupted later frame must error, not
+        # silently undercount n_frames
+        ("badtail", "d7", "video", _ep(2, 2, bytes(12)) + b"XX garbage",
+         {"mime": "video/x-ppm-stream", "width": None, "height": None, "duration_ms": None}),
     ]
     from samu_ocr_extraction_poc_spark.sources.media import MEDIA_SCHEMA
 
@@ -165,6 +172,8 @@ def test_media_poison_blob_degrades_to_error_row(spark):
     assert "truncated" in out["trunc"]["error"]
     assert "truncated BMP" in out["bigbmp"]["error"]
     assert "media_type" in out["mislabel"]["error"] and out["mislabel"]["feature"] is None
+    assert "invalid PPM dimensions" in out["negppm"]["error"]
+    assert "trailing non-P6" in out["badtail"]["error"]
 
 
 def test_frame_sample_and_resize(spark):
@@ -1385,10 +1394,12 @@ def test_normalize_url_semantics(spark):
         ("https://site.com/p?ref=rss&fbclid=abc", "https://site.com/p"),
         ("https://site.com/p?b=2&a=1", "https://site.com/p?b=2&a=1"),  # order kept
         ("https://wwwx.com/x", "https://wwwx.com/x"),  # not a www. prefix
-        ("https://site.com/p?referrer=keep", "https://site.com/p"),  # ref= prefix... no:
+        # 'referrer=keep' starts with 'ref' but NOT 'ref=' — must be kept
+        ("https://site.com/p?referrer=keep", "https://site.com/p?referrer=keep"),
+        # a second '?' inside a param value stays in the query (the
+        # substr-after-first-'?' semantics both engines share)
+        ("https://site.com/p?a=1?b=2", "https://site.com/p?a=1?b=2"),
     ]
-    # 'referrer=keep' starts with 'ref' but NOT with 'ref=' — must be kept
-    cases[-1] = ("https://site.com/p?referrer=keep", "https://site.com/p?referrer=keep")
     df = spark.createDataFrame([(u, want) for u, want in cases], "url string, want string")
     out = df.select("url", "want", normalize_url(F.col("url")).alias("got")).collect()
     for r in out:
@@ -1960,8 +1971,10 @@ def test_stream_probe_dedup_persisted_index_and_lifecycle(spark, tmp_path):
     build_band_index(corpus, loc)
     d = str(tmp_path / "probe_stream")
     batch.coalesce(1).write.mode("overwrite").parquet(d)
+    # index_location is the enforced-handshake path: the read validates
+    # this query's signature params against the table's meta
     q = (
-        stream_probe_dedup(spark, d, band_index=load_band_index(spark, loc))
+        stream_probe_dedup(spark, d, index_location=loc)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("probe_idx_out")
@@ -1971,6 +1984,14 @@ def test_stream_probe_dedup_persisted_index_and_lifecycle(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM probe_idx_out").collect()}
     assert got == want_new
+
+    # a parameter-mismatched persisted index must refuse, not silently
+    # never-collide (which would wave every duplicate through as new)
+    with pytest.raises(ValueError, match="num_hashes"):
+        stream_probe_dedup(spark, d, index_location=loc, num_hashes=16)
+    # load_band_index still works for caller-owned frames — the caller
+    # then owns the handshake (explicit params)
+    assert load_band_index(spark, loc, num_hashes=8, rows_per_band=2).count() > 0
 
     # inline-built index: the handle comes back for deterministic release
     out, built = stream_probe_dedup(spark, d, corpus, return_index=True)
