@@ -55,6 +55,8 @@ HEADLINE = [
     "c4_rules",
     # canonical-URL keep-first dedup (one hash agg)
     "url_dedup",
+    # Bloom build + membership probe (bit_or agg + broadcast join)
+    "bloom_probe",
     "boilerplate_strip",
     # keep-first global segment dedup (RefinedWeb semantics)
     "segment_dedup",

@@ -1328,6 +1328,59 @@ GROUP BY 1
 """
 
 
+def bloom_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership at ingest (operators/sketch.py:
+    bloom_build/bloom_probe): even doc_ids build the filter over their
+    md5(text) keys (one partial-aggregable bit_or groupBy, ~8k 32-bit
+    words at m=2^18); the probe batch is the odd docs (expected
+    non-members) plus re-keyed copies of every 10th even doc (guaranteed
+    members), the contamination_check split precedent. Bit positions are
+    pure md5 arithmetic, so the verdicts — including any false
+    positives — replay bit-identically on DuckDB."""
+    from .operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("key"))
+    bloom = SK.bloom_build(train, "key")
+    probe = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.md5("text").alias("key"))
+        .unionByName(
+            docs.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 0)).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), F.md5("text").alias("key")
+            )
+        )
+    )
+    return SK.bloom_probe(bloom, probe, "key")
+
+
+BLOOM_SQL = """
+WITH tr AS (SELECT md5(text) AS key FROM documents WHERE doc_id % 2 = 0),
+pb AS (SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 2 = 1
+       UNION ALL
+       SELECT doc_id + 100000 AS doc_id, md5(text) AS key FROM documents
+       WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+js AS (SELECT unnest([0, 1, 2]) AS j),
+trh AS (SELECT ('0x' || substr(md5('bloom' || j || ':' || key), 1, 15))::BIGINT % 262144 AS h
+        FROM tr CROSS JOIN js),
+words AS (SELECT h // 32 AS word_idx,
+                 bit_or(1::BIGINT << CAST(h % 32 AS INT)) AS bits
+          FROM trh GROUP BY h // 32),
+pbh AS (SELECT doc_id,
+               ('0x' || substr(md5('bloom' || j || ':' || key), 1, 15))::BIGINT % 262144 AS h
+        FROM pb CROSS JOIN js),
+ph AS (SELECT doc_id, h // 32 AS word_idx,
+              1::BIGINT << CAST(h % 32 AS INT) AS b
+       FROM pbh),
+hits AS (SELECT ph.doc_id,
+                sum(CASE WHEN words.bits IS NOT NULL
+                          AND (words.bits & ph.b) = ph.b THEN 1 ELSE 0 END) AS n
+         FROM ph LEFT JOIN words USING (word_idx) GROUP BY ph.doc_id)
+SELECT doc_id, CAST(CASE WHEN n = 3 THEN 1 ELSE 0 END AS INT) AS is_member
+FROM hits
+"""
+
+
 # 40 synthetic tokens appended to every 23rd document by
 # remove_shared_windows_q: a duplicated passage long enough (>= 2k-1
 # tokens at k=16) that its interior windows are corpus-wide duplicates,
@@ -2937,6 +2990,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_rules": gopher_rules_q,
     "c4_rules": c4_rules_q,
     "url_dedup": url_dedup_q,
+    "bloom_probe": bloom_probe_q,
     # --- (c) last driver-checked in r02 (rotated out by r03's 50-cap)
     "kmeans_clusters": kmeans_clusters,
     "xy_cut_layout": xy_cut_q,
@@ -3049,6 +3103,7 @@ ORACLE_SQL: dict[str, str] = {
     "gopher_rules": GOPHER_SQL,
     "c4_rules": C4_SQL,
     "url_dedup": URL_DEDUP_SQL,
+    "bloom_probe": BLOOM_SQL,
     "dsir_weights": DSIR_SQL,
     "dsir_select": DSIR_SELECT_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,

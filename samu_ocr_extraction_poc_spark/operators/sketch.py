@@ -62,6 +62,95 @@ def _group_sketch_sets(
     )
 
 
+def bloom_build(
+    df: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Distributed Bloom filter BUILD over a key column: the bounded-
+    memory membership structure an ingest pipeline probes BEFORE paying
+    for the full dedup index (classic Bloom 1970; k md5-derived bit
+    positions per key). Stored as (word_idx, bits) rows of 32-bit words
+    packed in BIGINT — 32 rather than 64 bits per word so ``1 << bit``
+    stays positive in both engines (no signed-overflow games), and rows
+    rather than one blob so the build is ONE partial-aggregable
+    groupBy/bit_or and the filter itself stays mergeable (union = bit_or
+    again) and distributable. ~m_bits/32 rows regardless of corpus size.
+
+    Determinism contract (the package's KMV argument): bit positions are
+    pure md5 arithmetic, so build and probe — including FALSE-POSITIVE
+    behavior — replay bit-identically on DuckDB.
+    """
+    pos = [
+        token_md5_long(F.col(key_col), prefix=f"bloom{j}:") % F.lit(m_bits)
+        for j in range(k)
+    ]
+    stacked = df.select(
+        F.explode(F.array(*[p.cast("bigint") for p in pos])).alias("h")
+    )
+    return (
+        stacked.select(
+            (F.col("h") / 32).cast("bigint").alias("word_idx"),
+            # F.shiftleft takes a literal bit count; the per-row shift
+            # needs the SQL form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 32 AS INT))").alias("b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(b)").cast("bigint").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    batch: DataFrame,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Probe a :func:`bloom_build` filter: an element is a (probable)
+    member iff ALL k of its bit positions are set. One equi-join of the
+    batch's k position rows against the word table (the filter side is
+    tiny — broadcastable at any corpus size since it is bounded by
+    m_bits/32 rows) + one count-the-hits aggregate. Returns
+    (doc_id, is_member 0/1) — is_member=1 means "probably in the corpus"
+    (false positives possible at the standard Bloom rate, deterministic
+    here; false negatives impossible).
+    """
+    pos = [
+        token_md5_long(F.col(key_col), prefix=f"bloom{j}:") % F.lit(m_bits)
+        for j in range(k)
+    ]
+    probes = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(*[p.cast("bigint") for p in pos])).alias("h"),
+    ).select(
+        "doc_id",
+        (F.col("h") / 32).cast("bigint").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 32 AS INT))").alias("b"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("b")) == F.col("b")),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("hit").alias("n_hits"))
+    )
+    return hits.select(
+        "doc_id",
+        F.when(F.col("n_hits") == k, 1).otherwise(0).cast("int").alias("is_member"),
+    )
+
+
 def kmv_distinct_tokens(
     df: DataFrame,
     k: int = 64,

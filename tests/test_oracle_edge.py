@@ -41,6 +41,7 @@ DOC_QUERIES = [
     "contamination_report", "source_stats", "source_filter", "curate_corpus_v2",
     "incremental_dedup", "epoch_upsample", "top_ngrams", "sample_exact_n",
     "remove_shared_windows", "gopher_rules", "c4_rules", "url_dedup",
+    "bloom_probe",
 ]
 
 

@@ -161,7 +161,7 @@ DRIVER_WINDOW_50 = [
     "top_ngrams", "sample_exact_n", "kmv_distinct", "kmv_overlap",
     "curate_corpus", "curate_corpus_v2",
     "remove_shared_windows", "extract_order_check", "gopher_rules",
-    "c4_rules", "url_dedup",
+    "c4_rules", "url_dedup", "bloom_probe",
     "kmeans_clusters", "xy_cut_layout", "bm25_search", "embed_topk_cosine",
     "embed_ivf_topk", "embed_quantized_topk", "embed_blocked_top_pairs",
     "embed_hyperplane_pairs",
@@ -170,7 +170,6 @@ DRIVER_WINDOW_50 = [
     "page_group_concat", "dedup_exact", "minhash_lsh_pairs",
     "dedup_components_star", "dedup_apply", "semantic_dedup",
     "bpe_train_merges", "winnow_pairs", "segment_dedup", "dsir_select",
-    "events_hourly",
 ]
 
 

@@ -1381,6 +1381,34 @@ def test_gopher_rules_semantics(spark):
         assert out[d]["keep"] == 0
 
 
+def test_bloom_membership_semantics(spark):
+    """Bloom build/probe: every built key is a member (no false
+    negatives, the structural guarantee); unseen keys are non-members at
+    this m/k/n (deterministic md5 positions, so this is stable, not
+    probabilistic flake); the filter is mergeable via bit_or."""
+    from samu_ocr_extraction_poc_spark.operators.sketch import bloom_build, bloom_probe
+
+    built = spark.createDataFrame([("k1",), ("k2",), ("k3",)], "key string")
+    probe = spark.createDataFrame(
+        [(1, "k1"), (2, "k2"), (3, "k3"), (4, "unseen-a"), (5, "unseen-b")],
+        "doc_id long, key string",
+    )
+    bloom = bloom_build(built, "key")
+    out = {r["doc_id"]: r["is_member"] for r in bloom_probe(bloom, probe, "key").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
+
+    # mergeability: union of two half-filters == filter of the union
+    h1 = bloom_build(spark.createDataFrame([("k1",), ("k2",)], "key string"), "key")
+    h2 = bloom_build(spark.createDataFrame([("k3",)], "key string"), "key")
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").cast("bigint").alias("bits"))
+    )
+    direct = {(r["word_idx"], r["bits"]) for r in bloom.collect()}
+    assert {(r["word_idx"], r["bits"]) for r in merged.collect()} == direct
+
+
 def test_normalize_url_semantics(spark):
     """URL canonicalization edge shapes: fragment drop, tracking-param
     strip (order of survivors preserved), www collapse, trailing-slash
