@@ -1295,7 +1295,7 @@ def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-URL_DEDUP_SQL = """
+URL_DEDUP_SQL = r"""
 WITH u AS (SELECT doc_id,
   'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
   || 'site' || CAST(doc_id % 50 AS VARCHAR)
@@ -1314,7 +1314,10 @@ n2 AS (SELECT doc_id, split_part(nofrag, '?', 1) AS base,
                    THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS q
        FROM n1),
 n3 AS (SELECT doc_id,
-              regexp_replace(replace(base, '://www.', '://'), '/+$', '') AS cb,
+              -- www strip anchored to the scheme (a replace-all would
+              -- rewrite '://www.' embedded in archive/proxy-style paths)
+              regexp_replace(regexp_replace(base, '^([a-z]+://)www\.', '\1'),
+                             '/+$', '') AS cb,
               list_filter(string_split(q, '&'),
                 p -> p <> '' AND NOT (starts_with(p, 'utm_')
                      OR starts_with(p, 'ref=') OR starts_with(p, 'fbclid='))) AS kept

@@ -124,17 +124,18 @@ def normalize_url(col: Column) -> Column:
     query = F.when(
         qpos > 0, nofrag.substr(qpos + F.lit(1), F.length(nofrag))
     ).otherwise(F.lit(""))
-    kept = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "")
-        & ~(
-            p.startswith(TRACKING_PARAM_PREFIXES[0])
-            | p.startswith(TRACKING_PARAM_PREFIXES[1])
-            | p.startswith(TRACKING_PARAM_PREFIXES[2])
-        ),
-    )
+    def _is_tracking(p: Column) -> Column:
+        cond = p.startswith(TRACKING_PARAM_PREFIXES[0])
+        for pre in TRACKING_PARAM_PREFIXES[1:]:
+            cond = cond | p.startswith(pre)
+        return cond
+
+    kept = F.filter(F.split(query, "&"), lambda p: (p != "") & ~_is_tracking(p))
+    # anchor the www strip to the scheme ('^scheme://www.'): a bare
+    # replace-all would also rewrite archive/proxy-style URLs that embed
+    # '://www.' in their PATH, colliding genuinely distinct documents
     canon_base = F.regexp_replace(
-        F.replace(base, F.lit("://www."), F.lit("://")), "/+$", ""
+        F.regexp_replace(base, r"^([a-z]+://)www\.", "$1"), "/+$", ""
     )
     return F.when(
         F.size(kept) > 0, F.concat(canon_base, F.lit("?"), F.array_join(kept, "&"))

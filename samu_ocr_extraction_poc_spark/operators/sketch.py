@@ -62,6 +62,34 @@ def _group_sketch_sets(
     )
 
 
+# the Bloom meta row's word_idx sentinel — below any real word index
+_BLOOM_META_IDX = -1
+
+
+def _bloom_positions(keyed: DataFrame, m_bits: int, k: int, key_col: str, *carry: str) -> DataFrame:
+    """(carry..., word_idx, b) rows: each key's k md5-derived bit
+    positions packed as (32-bit-word index, single-bit mask). ONE shared
+    construction for build and probe — the two sides must stay
+    bit-identical or membership silently breaks. word_idx via integer
+    shiftright (exact at ANY m_bits; a double divide would round past
+    2^53); 32-bit masks in BIGINT so ``1 << bit`` stays positive in both
+    engines."""
+    pos = [
+        token_md5_long(F.col(key_col), prefix=f"bloom{j}:") % F.lit(m_bits)
+        for j in range(k)
+    ]
+    return keyed.select(
+        *carry,
+        F.explode(F.array(*[p.cast("bigint") for p in pos])).alias("h"),
+    ).select(
+        *carry,
+        F.shiftright(F.col("h"), 5).alias("word_idx"),
+        # F.shiftleft takes a literal bit count; the per-row shift needs
+        # the SQL form
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 32 AS INT))").alias("b"),
+    )
+
+
 def bloom_build(
     df: DataFrame,
     key_col: str = "key",
@@ -72,33 +100,29 @@ def bloom_build(
     memory membership structure an ingest pipeline probes BEFORE paying
     for the full dedup index (classic Bloom 1970; k md5-derived bit
     positions per key). Stored as (word_idx, bits) rows of 32-bit words
-    packed in BIGINT — 32 rather than 64 bits per word so ``1 << bit``
-    stays positive in both engines (no signed-overflow games), and rows
-    rather than one blob so the build is ONE partial-aggregable
-    groupBy/bit_or and the filter itself stays mergeable (union = bit_or
-    again) and distributable. ~m_bits/32 rows regardless of corpus size.
+    packed in BIGINT, plus ONE meta row at word_idx=-1 encoding
+    (m_bits, k) so :func:`bloom_probe` can refuse a parameter-mismatched
+    filter (the band-index meta-handshake discipline — a silent mismatch
+    would produce false NEGATIVES, breaking the structure's one
+    guarantee). Rows rather than one blob: the build is ONE
+    partial-aggregable groupBy/bit_or, and the filter stays mergeable
+    (union = bit_or again; identical meta rows OR to themselves, and
+    mismatched merges corrupt the sentinel so the probe refuses).
+    ~m_bits/32 rows regardless of corpus size.
 
     Determinism contract (the package's KMV argument): bit positions are
     pure md5 arithmetic, so build and probe — including FALSE-POSITIVE
     behavior — replay bit-identically on DuckDB.
     """
-    pos = [
-        token_md5_long(F.col(key_col), prefix=f"bloom{j}:") % F.lit(m_bits)
-        for j in range(k)
-    ]
-    stacked = df.select(
-        F.explode(F.array(*[p.cast("bigint") for p in pos])).alias("h")
-    )
-    return (
-        stacked.select(
-            (F.col("h") / 32).cast("bigint").alias("word_idx"),
-            # F.shiftleft takes a literal bit count; the per-row shift
-            # needs the SQL form
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 32 AS INT))").alias("b"),
-        )
+    words = (
+        _bloom_positions(df, m_bits, k, key_col)
         .groupBy("word_idx")
         .agg(F.expr("bit_or(b)").cast("bigint").alias("bits"))
     )
+    meta = df.sparkSession.createDataFrame(
+        [(_BLOOM_META_IDX, m_bits * 100 + k)], "word_idx bigint, bits bigint"
+    )
+    return words.unionByName(meta)
 
 
 def bloom_probe(
@@ -110,7 +134,10 @@ def bloom_probe(
     k: int = 3,
 ) -> DataFrame:
     """Probe a :func:`bloom_build` filter: an element is a (probable)
-    member iff ALL k of its bit positions are set. One equi-join of the
+    member iff ALL k of its bit positions are set. Validates the
+    filter's meta row against this probe's (m_bits, k) first — a 1-row
+    driver probe, the BPE/CC argmax discipline — and raises on mismatch
+    rather than silently emitting false negatives. One equi-join of the
     batch's k position rows against the word table (the filter side is
     tiny — broadcastable at any corpus size since it is bounded by
     m_bits/32 rows) + one count-the-hits aggregate. Returns
@@ -118,20 +145,21 @@ def bloom_probe(
     (false positives possible at the standard Bloom rate, deterministic
     here; false negatives impossible).
     """
-    pos = [
-        token_md5_long(F.col(key_col), prefix=f"bloom{j}:") % F.lit(m_bits)
-        for j in range(k)
-    ]
-    probes = batch.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array(*[p.cast("bigint") for p in pos])).alias("h"),
-    ).select(
-        "doc_id",
-        (F.col("h") / 32).cast("bigint").alias("word_idx"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 32 AS INT))").alias("b"),
+    meta = bloom.where(F.col("word_idx") == _BLOOM_META_IDX).collect()
+    want = m_bits * 100 + k
+    if len(meta) != 1 or meta[0]["bits"] != want:
+        got = [r["bits"] for r in meta]
+        raise ValueError(
+            f"bloom filter meta mismatch: probe expects m_bits={m_bits}, k={k} "
+            f"(sentinel {want}), filter carries {got or 'no meta row'} — "
+            "build and probe must use identical parameters"
+        )
+    words = bloom.where(F.col("word_idx") != _BLOOM_META_IDX)
+    probes = _bloom_positions(batch, m_bits, k, key_col, id_col).withColumnRenamed(
+        id_col, "doc_id"
     )
     hits = (
-        probes.join(F.broadcast(bloom), "word_idx", "left")
+        probes.join(F.broadcast(words), "word_idx", "left")
         .select(
             "doc_id",
             F.when(

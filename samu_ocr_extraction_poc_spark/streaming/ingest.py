@@ -242,6 +242,7 @@ def stream_probe_dedup(
     band_index: DataFrame | None = None,
     return_index: bool = False,
     index_location: str | None = None,
+    k: int = 3,
 ):
     """Streaming INCREMENTAL dedup against an already-indexed corpus (the
     streaming form of operators/dedup.lsh_probe_dedup): each arriving
@@ -264,7 +265,7 @@ def stream_probe_dedup(
     query. ``band_index`` accepts an already-loaded frame instead — the
     caller then owns BOTH its lifecycle AND the parameter handshake
     (load it via ``load_band_index(spark, loc, num_hashes,
-    rows_per_band)`` with explicit params, never bare). When only the
+    rows_per_band, k)`` with ALL the explicit params, never bare). When only the
     raw ``corpus`` is given, its index is built ONCE here, persisted and
     eagerly materialized — otherwise every micro-batch would re-run the
     corpus shingle+minhash pipeline once per band anti-join. That
@@ -288,14 +289,21 @@ def stream_probe_dedup(
     if index_location is not None:
         if band_index is not None:
             raise ValueError("pass index_location or band_index, not both")
+        # validate ALL THREE signature-family params, including the
+        # shingle size k — it changes the key space just as much as the
+        # hash family (review r4 pass 3)
         band_index = load_band_index(
-            spark, index_location, num_hashes=num_hashes, rows_per_band=rows_per_band
+            spark,
+            index_location,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+            k=k,
         )
     if band_index is None:
         if corpus is None:
             raise ValueError("pass corpus, band_index, or index_location")
         band_index = _banded(
-            minhash_signatures(corpus, num_hashes=num_hashes),
+            minhash_signatures(corpus, num_hashes=num_hashes, k=k),
             num_hashes,
             rows_per_band,
         ).persist()
@@ -303,7 +311,7 @@ def stream_probe_dedup(
     idx = band_index
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     docs = spark.readStream.schema(schema).parquet(input_dir)
-    sig_cols = row_minhash(F.col("text"), num_hashes=num_hashes)
+    sig_cols = row_minhash(F.col("text"), num_hashes=num_hashes, k=k)
     out = docs.select("*", *sig_cols)
     for b in range(n_bands):
         key = F.concat_ws(

@@ -1408,6 +1408,14 @@ def test_bloom_membership_semantics(spark):
     direct = {(r["word_idx"], r["bits"]) for r in bloom.collect()}
     assert {(r["word_idx"], r["bits"]) for r in merged.collect()} == direct
 
+    # parameter handshake: probing with different m_bits/k must refuse —
+    # a silent mismatch would emit false NEGATIVES, the one failure a
+    # Bloom filter promises never to have
+    with pytest.raises(ValueError, match="meta mismatch"):
+        bloom_probe(bloom, probe, "key", m_bits=1 << 20).collect()
+    with pytest.raises(ValueError, match="meta mismatch"):
+        bloom_probe(bloom, probe, "key", k=5).collect()
+
 
 def test_normalize_url_semantics(spark):
     """URL canonicalization edge shapes: fragment drop, tracking-param
@@ -1427,6 +1435,12 @@ def test_normalize_url_semantics(spark):
         # a second '?' inside a param value stays in the query (the
         # substr-after-first-'?' semantics both engines share)
         ("https://site.com/p?a=1?b=2", "https://site.com/p?a=1?b=2"),
+        # www strip is anchored to the scheme: an archive/proxy URL with
+        # '://www.' embedded in its PATH must NOT be rewritten
+        (
+            "https://a.example/mirror/https://www.b.com/x",
+            "https://a.example/mirror/https://www.b.com/x",
+        ),
     ]
     df = spark.createDataFrame([(u, want) for u, want in cases], "url string, want string")
     out = df.select("url", "want", normalize_url(F.col("url")).alias("got")).collect()
