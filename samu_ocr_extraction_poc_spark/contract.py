@@ -1127,12 +1127,11 @@ def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GOPHER_SQL = """
 WITH g AS (SELECT doc_id, text,
-                  CASE WHEN length(trim(replace(text, chr(10), ' '))) = 0 THEN 0
-                       ELSE len(string_split(trim(replace(text, chr(10), ' ')), ' ')) END AS n,
-                  string_split(trim(replace(text, chr(10), ' ')), ' ') AS w,
+                  list_filter(string_split(trim(replace(text, chr(10), ' ')), ' '),
+                              t -> t <> '') AS w,
                   string_split(text, chr(10)) AS ln
            FROM documents),
-s AS (SELECT doc_id, n,
+s AS (SELECT doc_id, len(w) AS n,
              list_aggregate(list_transform(w, t -> length(t)), 'sum') AS sum_len,
              len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
              len(list_intersect(list_distinct(w),
@@ -1376,10 +1375,10 @@ ph AS (SELECT doc_id, h // 32 AS word_idx,
               1::BIGINT << CAST(h % 32 AS INT) AS b
        FROM pbh),
 hits AS (SELECT ph.doc_id,
-                sum(CASE WHEN words.bits IS NOT NULL
-                          AND (words.bits & ph.b) = ph.b THEN 1 ELSE 0 END) AS n
+                min(CASE WHEN words.bits IS NOT NULL
+                          AND (words.bits & ph.b) = ph.b THEN 1 ELSE 0 END) AS all_hit
          FROM ph LEFT JOIN words USING (word_idx) GROUP BY ph.doc_id)
-SELECT doc_id, CAST(CASE WHEN n = 3 THEN 1 ELSE 0 END AS INT) AS is_member
+SELECT doc_id, CAST(all_hit AS INT) AS is_member
 FROM hits
 """
 

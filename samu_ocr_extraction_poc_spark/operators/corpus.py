@@ -448,17 +448,20 @@ def gopher_rules(
     bullet-started; <30% of lines ellipsis-ended. The line rules operate
     on newline-split lines (single-line corpora satisfy them trivially —
     they still run, and the edge suite feeds them multi-line text). Word
-    stats tokenize over newline-FLATTENED text: a single-space split of
-    the raw page would fuse the words around every line break into one
-    pseudo-word, skewing exactly the multi-line pages the line rules
-    target (review r4 finding).
+    stats tokenize over newline-FLATTENED text with EMPTY tokens
+    filtered out: a single-space split of the raw page would fuse the
+    words around every line break into one pseudo-word (review r4
+    finding), and blank lines / consecutive newlines would otherwise
+    emit empty pseudo-tokens that inflate n_words and drag mean word
+    length and alpha fraction down on exactly the multi-line pages the
+    rules target (r4 advice item).
     """
     flat = F.replace(F.col(text_col), F.lit("\n"), F.lit(" "))
-    n = token_count(flat)
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
 
     def tok_stats(toks: Column) -> Column:
         return F.struct(
+            F.size(toks).alias("n_words"),
             F.aggregate(
                 F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
             ).alias("sum_len"),
@@ -466,7 +469,11 @@ def gopher_rules(
             F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).alias("n_stop"),
         )
 
-    st = let_bound(tokens(flat), tok_stats)
+    # split('') == [''] so the empty-token filter also makes the empty
+    # page yield n_words = 0 with no special case
+    st = let_bound(
+        F.filter(tokens(flat), lambda t: t != F.lit("")), tok_stats
+    )
 
     def line_stats(lines: Column) -> Column:
         return F.struct(
@@ -492,7 +499,6 @@ def gopher_rules(
 
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        n.cast("bigint").alias("n_words"),
         st.alias("st"),
         ls.alias("ls"),
         n_hash.cast("bigint").alias("n_hash"),
@@ -500,19 +506,19 @@ def gopher_rules(
     )
     flags = base.select(
         "doc_id",
-        "n_words",
-        flag(F.col("n_words").between(min_words, max_words)).alias("is_word_count_ok"),
+        F.col("st.n_words").cast("bigint").alias("n_words"),
+        flag(F.col("st.n_words").between(min_words, max_words)).alias("is_word_count_ok"),
         flag(
-            (F.col("n_words") > 0)
-            & (3 * F.col("n_words") <= F.col("st.sum_len"))
-            & (F.col("st.sum_len") <= 10 * F.col("n_words"))
+            (F.col("st.n_words") > 0)
+            & (3 * F.col("st.n_words") <= F.col("st.sum_len"))
+            & (F.col("st.sum_len") <= 10 * F.col("st.n_words"))
         ).alias("is_mean_len_ok"),
         flag(
-            (F.col("n_words") > 0)
-            & (10 * (F.col("n_hash") + F.col("n_dots")) < F.col("n_words"))
+            (F.col("st.n_words") > 0)
+            & (10 * (F.col("n_hash") + F.col("n_dots")) < F.col("st.n_words"))
         ).alias("is_symbol_ok"),
         flag(
-            (F.col("n_words") > 0) & (5 * F.col("st.n_alpha") > 4 * F.col("n_words"))
+            (F.col("st.n_words") > 0) & (5 * F.col("st.n_alpha") > 4 * F.col("st.n_words"))
         ).alias("is_alpha_ok"),
         flag(F.col("st.n_stop") >= 2).alias("is_stop_ok"),
         flag(10 * F.col("ls.n_bullet") < 9 * F.col("ls.n_lines")).alias("is_bullet_ok"),

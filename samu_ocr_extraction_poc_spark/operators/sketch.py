@@ -62,8 +62,15 @@ def _group_sketch_sets(
     )
 
 
-# the Bloom meta row's word_idx sentinel — below any real word index
-_BLOOM_META_IDX = -1
+# the Bloom meta rows' word_idx sentinels — below any real word index
+# (real word_idx >= 0: positions are md5_long % m_bits of a positive
+# 60-bit hash). TWO rows, one per parameter: packing (m_bits, k) into a
+# single value (the r4 scheme, m_bits*100+k) was ambiguous — any k >= 100
+# aliases a different (m_bits, k) pair onto the same sentinel, letting a
+# mismatched build/probe pass the handshake and emit false negatives
+# (r4 advice item).
+_BLOOM_META_M = -1
+_BLOOM_META_K = -2
 
 
 def _bloom_positions(keyed: DataFrame, m_bits: int, k: int, key_col: str, *carry: str) -> DataFrame:
@@ -100,11 +107,13 @@ def bloom_build(
     memory membership structure an ingest pipeline probes BEFORE paying
     for the full dedup index (classic Bloom 1970; k md5-derived bit
     positions per key). Stored as (word_idx, bits) rows of 32-bit words
-    packed in BIGINT, plus ONE meta row at word_idx=-1 encoding
-    (m_bits, k) so :func:`bloom_probe` can refuse a parameter-mismatched
-    filter (the band-index meta-handshake discipline — a silent mismatch
-    would produce false NEGATIVES, breaking the structure's one
-    guarantee). Rows rather than one blob: the build is ONE
+    packed in BIGINT, plus TWO meta rows at word_idx=-1 (m_bits) and
+    word_idx=-2 (k) so :func:`bloom_probe` can refuse a
+    parameter-mismatched filter (the band-index meta-handshake
+    discipline — a silent mismatch would produce false NEGATIVES,
+    breaking the structure's one guarantee; separate rows because a
+    packed m_bits*100+k sentinel aliases any k>=100 onto a different
+    pair). Rows rather than one blob: the build is ONE
     partial-aggregable groupBy/bit_or, and the filter stays mergeable
     (union = bit_or again; identical meta rows OR to themselves, and
     mismatched merges corrupt the sentinel so the probe refuses).
@@ -120,7 +129,7 @@ def bloom_build(
         .agg(F.expr("bit_or(b)").cast("bigint").alias("bits"))
     )
     meta = df.sparkSession.createDataFrame(
-        [(_BLOOM_META_IDX, m_bits * 100 + k)], "word_idx bigint, bits bigint"
+        [(_BLOOM_META_M, m_bits), (_BLOOM_META_K, k)], "word_idx bigint, bits bigint"
     )
     return words.unionByName(meta)
 
@@ -135,26 +144,37 @@ def bloom_probe(
 ) -> DataFrame:
     """Probe a :func:`bloom_build` filter: an element is a (probable)
     member iff ALL k of its bit positions are set. Validates the
-    filter's meta row against this probe's (m_bits, k) first — a 1-row
+    filter's meta rows against this probe's (m_bits, k) first — a 2-row
     driver probe, the BPE/CC argmax discipline — and raises on mismatch
-    rather than silently emitting false negatives. One equi-join of the
-    batch's k position rows against the word table (the filter side is
-    tiny — broadcastable at any corpus size since it is bounded by
-    m_bits/32 rows) + one count-the-hits aggregate. Returns
-    (doc_id, is_member 0/1) — is_member=1 means "probably in the corpus"
-    (false positives possible at the standard Bloom rate, deterministic
-    here; false negatives impossible).
+    rather than silently emitting false negatives. The filter frame is
+    localCheckpoint-ed first so the meta collect and the join read ONE
+    materialization (~m_bits/32 rows) instead of executing the build
+    aggregation twice (r4 advice item; callers probing many batches
+    should still materialize the filter once themselves). One equi-join
+    of the batch's k position rows against the word table (the filter
+    side is tiny — broadcastable at any corpus size since it is bounded
+    by m_bits/32 rows) + one all-positions-hit aggregate (min over the
+    per-position hit flags — robust to a doc_id appearing more than once
+    in the batch, where a count==k test would return false negatives for
+    genuine members; is_member then means "every probed key is a
+    probable member"). Returns (doc_id, is_member 0/1) — is_member=1
+    means "probably in the corpus" (false positives possible at the
+    standard Bloom rate, deterministic here; false negatives
+    impossible).
     """
-    meta = bloom.where(F.col("word_idx") == _BLOOM_META_IDX).collect()
-    want = m_bits * 100 + k
-    if len(meta) != 1 or meta[0]["bits"] != want:
-        got = [r["bits"] for r in meta]
+    bloom = bloom.localCheckpoint(eager=True)
+    meta = {
+        r["word_idx"]: r["bits"]
+        for r in bloom.where(F.col("word_idx") < 0).collect()
+    }
+    if meta.get(_BLOOM_META_M) != m_bits or meta.get(_BLOOM_META_K) != k:
         raise ValueError(
-            f"bloom filter meta mismatch: probe expects m_bits={m_bits}, k={k} "
-            f"(sentinel {want}), filter carries {got or 'no meta row'} — "
+            f"bloom filter meta mismatch: probe expects m_bits={m_bits}, k={k}, "
+            f"filter carries m_bits={meta.get(_BLOOM_META_M)}, "
+            f"k={meta.get(_BLOOM_META_K)} — "
             "build and probe must use identical parameters"
         )
-    words = bloom.where(F.col("word_idx") != _BLOOM_META_IDX)
+    words = bloom.where(F.col("word_idx") >= 0)
     probes = _bloom_positions(batch, m_bits, k, key_col, id_col).withColumnRenamed(
         id_col, "doc_id"
     )
@@ -171,11 +191,10 @@ def bloom_probe(
             .alias("hit"),
         )
         .groupBy("doc_id")
-        .agg(F.sum("hit").alias("n_hits"))
+        .agg(F.min("hit").alias("all_hit"))
     )
     return hits.select(
-        "doc_id",
-        F.when(F.col("n_hits") == k, 1).otherwise(0).cast("int").alias("is_member"),
+        "doc_id", F.col("all_hit").cast("int").alias("is_member")
     )
 
 

@@ -1397,6 +1397,16 @@ def test_bloom_membership_semantics(spark):
     out = {r["doc_id"]: r["is_member"] for r in bloom_probe(bloom, probe, "key").collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
 
+    # a doc_id duplicated in the batch must still read as a member (a
+    # count-the-hits==k test would see 2k hits and emit the false
+    # negative the structure forbids — r4 advice item)
+    dup = spark.createDataFrame(
+        [(1, "k1"), (1, "k1"), (2, "k2"), (2, "unseen-a")],
+        "doc_id long, key string",
+    )
+    dout = {r["doc_id"]: r["is_member"] for r in bloom_probe(bloom, dup, "key").collect()}
+    assert dout == {1: 1, 2: 0}  # 2 probed with a non-member key -> not all-member
+
     # mergeability: union of two half-filters == filter of the union
     h1 = bloom_build(spark.createDataFrame([("k1",), ("k2",)], "key string"), "key")
     h2 = bloom_build(spark.createDataFrame([("k3",)], "key string"), "key")
