@@ -1383,6 +1383,100 @@ FROM hits
 """
 
 
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode under the driver gate (sources/media.py:
+    decode_media, default = real codecs since r5; reference analog: S5
+    sync image OCR, lib/text-extractor.ts:155-181): 96 deterministic
+    VALID containers (P6 PPM / 24-bit BMP images, PCM WAV audio,
+    concatenated-P6 video streams from synth_media_table(real_bytes=
+    True)) decode through the pure-stdlib codecs into true pixel/sample
+    statistics. Per media: dimensions, frame count, and an md5 digest of
+    the 16 feature values integer-rounded to 4 decimals (floor(x*1e4 +
+    0.5) on the float32-cast value — floor, not round(), so both
+    engines' tie behavior is identical by construction).
+
+    The DuckDB oracle re-derives EVERYTHING in closed form — the sha256
+    pixel/sample streams of the synthesis, quadrant/global channel
+    means, the luma combination, 16 mean-absolute-amplitude audio
+    segments — because every synthetic byte is pure hash arithmetic
+    (media.py:_synth_rgb) and every statistic is exact-integer sums
+    followed by a mirrored double→float32 evaluation order. Audio
+    features are exact dyadic rationals (divisions by 2^15/2^3 only), so
+    their sums are order-independent; image means replay the identical
+    IEEE op sequence on both engines."""
+    from .sources import media as MD
+
+    dec = MD.decode_media(MD.synth_media_table(spark, n=96, real_bytes=True))
+    iv = F.transform(
+        F.col("feature"),
+        lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("bigint"),
+    )
+    return dec.select(
+        "media_ref",
+        "doc_id",
+        "media_type",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.md5(
+            F.array_join(F.transform(iv, lambda v: v.cast("string")), ";")
+        ).alias("feat_md5"),
+    )
+
+
+MEDIA_FEATURES_SQL = r"""
+WITH m AS (SELECT range AS i FROM range(96)),
+dims AS (SELECT i,
+    CASE i%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mtype,
+    8 + i%5 AS w, 6 + i%4 AS h FROM m),
+img AS (SELECT i, w, h, w*h*3 AS need,
+    CASE WHEN mtype='image' THEN 'media-'||i ELSE 'media-'||i||'-f0' END AS seed
+    FROM dims WHERE mtype IN ('image','video')),
+ctr AS (SELECT range AS c FROM range(11)),
+kk AS (SELECT range AS k FROM range(32)),
+byt AS (SELECT i, w, h, c*32 + k AS j,
+    ('0x' || substr(sha256(seed || ':' || c), 2*k+1, 2))::BIGINT AS v
+    FROM img CROSS JOIN ctr CROSS JOIN kk
+    WHERE c*32 + k < need),
+px AS (SELECT i, w, h, (j//3) % w AS x, (j//3) // w AS y, j%3 AS ch, v FROM byt),
+pq AS (SELECT i, ch, v,
+      (CASE WHEN 2*y >= h THEN 2 ELSE 0 END) + (CASE WHEN 2*x >= w THEN 1 ELSE 0 END) AS q
+      FROM px),
+qs AS (SELECT i, q, ch, sum(v) AS s, count(*) AS c FROM pq GROUP BY i, q, ch),
+gs AS (SELECT i, ch, sum(v) AS s, count(*) AS n FROM pq GROUP BY i, ch),
+gd AS (SELECT i,
+       max(CASE WHEN ch=0 THEN (s::DOUBLE / n) / 255.0 END) AS gr,
+       max(CASE WHEN ch=1 THEN (s::DOUBLE / n) / 255.0 END) AS gg,
+       max(CASE WHEN ch=2 THEN (s::DOUBLE / n) / 255.0 END) AS gb
+       FROM gs GROUP BY i),
+imgfeat AS (
+  SELECT i, q*3 + ch AS ord, (s::DOUBLE / c) / 255.0 AS val FROM qs
+  UNION ALL SELECT i, 12, gr FROM gd
+  UNION ALL SELECT i, 13, gg FROM gd
+  UNION ALL SELECT i, 14, gb FROM gd
+  UNION ALL SELECT i, 15, 0.299*gr + 0.587*gg + 0.114*gb FROM gd),
+aud AS (SELECT i, sha256('media-' || i) AS hx FROM dims WHERE mtype='audio'),
+jj AS (SELECT range AS j FROM range(128)),
+asmp AS (SELECT i, j,
+  ('0x' || substr(hx, 4*(j%16)+1, 2))::BIGINT * 256 + ('0x' || substr(hx, 4*(j%16)+3, 2))::BIGINT AS u
+  FROM aud CROSS JOIN jj),
+aseg AS (SELECT i, j//8 AS ord, abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS a FROM asmp),
+afeat AS (SELECT i, ord, (sum(a)::DOUBLE / 8) / 32768.0 AS val FROM aseg GROUP BY i, ord),
+allfeat AS (SELECT i, ord,
+    CAST(floor(CAST(CAST(val AS FLOAT) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS iv
+    FROM (SELECT * FROM imgfeat UNION ALL SELECT * FROM afeat)),
+agg AS (SELECT i, md5(string_agg(iv::VARCHAR, ';' ORDER BY ord)) AS feat_md5 FROM allfeat GROUP BY i)
+SELECT printf('m-%04d', i) AS media_ref,
+       sha256('doc-' || (i%16)) AS doc_id,
+       mtype AS media_type,
+       CAST(CASE WHEN mtype='audio' THEN 0 ELSE w END AS INT) AS width,
+       CAST(CASE WHEN mtype='audio' THEN 0 ELSE h END AS INT) AS height,
+       CAST(CASE WHEN mtype='image' THEN 1 WHEN mtype='video' THEN 1 + i%4 ELSE 128 END AS INT) AS n_frames,
+       feat_md5
+FROM dims JOIN agg USING (i)
+"""
+
+
 # 40 synthetic tokens appended to every 23rd document by
 # remove_shared_windows_q: a duplicated passage long enough (>= 2k-1
 # tokens at k=16) that its interior windows are corpus-wide duplicates,
@@ -1528,6 +1622,22 @@ def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_train_long_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training long enough that the lineage-truncation path fires
+    under the driver gate (VERDICT r4 item 6): 24 merge rounds with the
+    default ``checkpoint_every=16``, so round 16 localCheckpoint(eager)s
+    the vocabulary frame mid-training and rounds 17-24 build on the
+    truncated lineage — the exact mechanism that keeps Catalyst analysis
+    cost bounded at production merge counts (operators/bpe.py:120). The
+    oracle unrolls the same 24 rounds in DuckDB; values are integer
+    counts + symbol strings, so parity is exact by construction."""
+    from .operators import bpe as BP
+
+    return BP.bpe_merge_table(
+        spark, _t(spark, sf_dir, "documents"), n_merges=24
+    )
+
+
 def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encoding under the trained vocabulary (operators/bpe.py:
     bpe_encode): per-document token counts after applying the 8 learned
@@ -1543,13 +1653,19 @@ def _bpe_sql(n_merges: int = 8, encode: bool = False) -> str:
     """DuckDB replay of bpe_train/bpe_encode: the same unrolled merge
     rounds — '(sym)(sym)' strings, greedy-left literal replace, integer
     counts with lexicographic 'l r' tie-break (space sorts below [a-z0-9],
-    so string order == (l, r) tuple order on both engines)."""
+    so string order == (l, r) tuple order on both engines).
+
+    The per-round CTEs are AS MATERIALIZED: bw{r-1} is referenced twice
+    per round (pair counting + the replace), so inlining doubles the tree
+    per round — 2^n_merges parquet scans, which exhausts file handles at
+    24 rounds (bpe_train_long). Materialization keeps the unroll linear
+    without touching any value."""
     parts = [
         r"""WITH btok AS (SELECT doc_id,
                     unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
              FROM documents),
 bwf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM btok WHERE length(w) > 0 GROUP BY w),
-bw0 AS (SELECT w, regexp_replace(w, '(.)', '(\1)', 'g') AS s, freq FROM bwf)"""
+bw0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', '(\1)', 'g') AS s, freq FROM bwf)"""
     ]
     for r in range(1, n_merges + 1):
         parts.append(
@@ -1560,9 +1676,9 @@ bp{r} AS (SELECT pr AS p, CAST(sum(freq) AS BIGINT) AS c
                               i -> sy[i] || ' ' || sy[i+1])) AS pr
                 FROM (SELECT string_split(trim(s, '()'), ')(') AS sy, freq FROM bw{r - 1}))
           GROUP BY pr),
-bb{r} AS (SELECT split_part(p, ' ', 1) AS lhs, split_part(p, ' ', 2) AS rhs, c
+bb{r} AS MATERIALIZED (SELECT split_part(p, ' ', 1) AS lhs, split_part(p, ' ', 2) AS rhs, c
           FROM bp{r} ORDER BY c DESC, p ASC LIMIT 1),
-bw{r} AS (SELECT w, replace(s, '(' || b.lhs || ')(' || b.rhs || ')', '(' || b.lhs || b.rhs || ')') AS s, freq
+bw{r} AS MATERIALIZED (SELECT w, replace(s, '(' || b.lhs || ')(' || b.rhs || ')', '(' || b.lhs || b.rhs || ')') AS s, freq
           FROM bw{r - 1} CROSS JOIN bb{r} b)"""
         )
     if encode:
@@ -1587,6 +1703,7 @@ GROUP BY bdt.doc_id"""
 
 
 BPE_TRAIN_SQL = _bpe_sql(encode=False)
+BPE_TRAIN_LONG_SQL = _bpe_sql(n_merges=24, encode=False)
 BPE_ENCODE_SQL = _bpe_sql(encode=True)
 
 
@@ -2956,12 +3073,18 @@ FROM c
 # tests/test_oracle_parity.py::test_driver_window_priority_order —
 # update DRIVER_WINDOW_50 there in lockstep with any edit here.
 #
-# Window policy: (a) the reference-semantics flagship family first (the
-# queries that verify actual extraction behavior), (b) entries never yet
-# driver-checked in any round, (c) entries last checked only in r02,
-# (d) a rotating fill of long-stable core entries. Positions 51+ are
-# entries green in CORRECTNESS_r03 (all 81 stay under the local
-# driver-faithful gate at sf0.001+sf0.01 regardless of position).
+# Window policy (re-decided each round; r5 rotation per VERDICT r4 item 3):
+# (a) the reference-semantics flagship family first (the queries that
+# verify actual extraction behavior — always in-window), (b) entries new
+# this round (never driver-checked by construction), (b') last round's new
+# entries (kept per the verdict), (c) the STALEST entries — last
+# driver-checked r02 — then (d) the r03-only block, oldest evidence first.
+# Three r03 entries (`dedup_components`, `simhash`, `bpe_token_counts`)
+# did not fit the 50-cap; each has same-family in-window coverage this
+# round (CC_SQL via the r04-green star variant, simhash_near_pairs,
+# bpe_encode_counts) and they are FIRST in line for the r6 rotation.
+# Positions 51+ were all green in CORRECTNESS_r04 (every entry stays under
+# the local driver-faithful gate at sf0.001+sf0.01 regardless of position).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (a) flagship extraction family: Arrow engine + closed-form checks
     "extract_pipeline": extract_pipeline,
@@ -2972,55 +3095,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_html_text_check": extract_html_text_check,
     "extract_pleading_medical_text_check": extract_pleading_medical_text_check,
     "html_strip": html_strip_q,
-    # --- (b) never driver-checked before round 4
-    "embed_contamination": embed_contamination,
-    "centroid_classify": centroid_classify_q,
-    "contamination_report": contamination_report_q,
-    "source_stats": source_stats_q,
-    "source_filter": source_filter_q,
-    "incremental_dedup": incremental_dedup_q,
-    "epoch_upsample": epoch_upsample_q,
-    "top_ngrams": top_ngrams_q,
-    "sample_exact_n": sample_exact_n_q,
-    "kmv_distinct": kmv_distinct_q,
-    "kmv_overlap": kmv_overlap_q,
-    "curate_corpus": curate_corpus_q,
-    "curate_corpus_v2": curate_corpus_v2_q,
-    # --- (b') new in round 4 (never driver-checked by construction)
+    # --- (b) new in round 5 (never driver-checked by construction)
+    "media_features": media_features_q,
+    "bpe_train_long": bpe_train_long_q,
+    # --- (b') new in round 4, kept in-window per VERDICT r4 item 3
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
     "gopher_rules": gopher_rules_q,
     "c4_rules": c4_rules_q,
     "url_dedup": url_dedup_q,
     "bloom_probe": bloom_probe_q,
-    # --- (c) last driver-checked in r02 (rotated out by r03's 50-cap)
-    "kmeans_clusters": kmeans_clusters,
-    "xy_cut_layout": xy_cut_q,
-    "bm25_search": bm25_search,
-    "embed_topk_cosine": embed_topk_cosine,
-    "embed_ivf_topk": embed_ivf_topk,
-    "embed_quantized_topk": embed_quantized_topk,
-    "embed_blocked_top_pairs": embed_blocked_top_pairs,
-    "embed_hyperplane_pairs": embed_hyperplane_pairs,
-    # --- (d) rotating fill: one representative per long-stable family
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_region_revenue": q5_region_revenue,
-    "topk_orders_per_customer": topk_orders_per_customer,
-    "customers_without_orders": customers_without_orders,
-    "page_group_concat": page_group_concat,
-    "dedup_exact": dedup_exact,
-    "minhash_lsh_pairs": minhash_lsh_pairs_q,
-    "dedup_components_star": dedup_components_star,
-    "dedup_apply": dedup_apply,
-    "semantic_dedup": semantic_dedup_q,
-    "bpe_train_merges": bpe_train_q,
-    "winnow_pairs": winnow_pairs_q,
-    "segment_dedup": segment_dedup_q,
-    "dsir_select": dsir_select_q,
+    # --- (c) stalest: last driver-checked in r02
     "events_hourly": events_hourly,
     "user_sessions": user_sessions,
-    # ---------------- position 51+ (green in CORRECTNESS_r03) ----------------
+    # --- (d) r03-only block (last driver-checked r03), oldest-first fill
     "rollup_revenue": rollup_revenue,
     "pivot_status_by_segment": pivot_status_by_segment,
     "running_customer_revenue": running_customer_revenue,
@@ -3030,14 +3118,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_seen_event_types": first_seen_event_types,
     "dedup_keepfirst": dedup_keepfirst,
     "minhash_signatures": minhash_signatures_q,
-    "dedup_components": dedup_components,
-    "simhash": simhash_q,
     "simhash_near_pairs": simhash_near_pairs,
     "props_parse": props_parse,
     "ngram_jaccard_top_pairs": ngram_jaccard_top_pairs,
     "token_stats": token_stats,
     "lang_id_heuristic": lang_id_heuristic,
-    "bpe_token_counts": bpe_token_counts,
     "shared_window_pairs": shared_window_pairs_q,
     "contamination_check": contamination_check_q,
     "repetition_stats": repetition_stats_q,
@@ -3056,6 +3141,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode_counts": bpe_encode_q,
     "winnow_fingerprints": winnow_fps_q,
     "blocklist_filter": blocklist_filter_q,
+    # ------------- position 51+ (green in CORRECTNESS_r04) -------------
+    # r6-rotation head: the three r03 entries cut by the 50-cap
+    "dedup_components": dedup_components,
+    "simhash": simhash_q,
+    "bpe_token_counts": bpe_token_counts,
+    # checked r04
+    "embed_contamination": embed_contamination,
+    "centroid_classify": centroid_classify_q,
+    "contamination_report": contamination_report_q,
+    "source_stats": source_stats_q,
+    "source_filter": source_filter_q,
+    "incremental_dedup": incremental_dedup_q,
+    "epoch_upsample": epoch_upsample_q,
+    "top_ngrams": top_ngrams_q,
+    "sample_exact_n": sample_exact_n_q,
+    "kmv_distinct": kmv_distinct_q,
+    "kmv_overlap": kmv_overlap_q,
+    "curate_corpus": curate_corpus_q,
+    "curate_corpus_v2": curate_corpus_v2_q,
+    "kmeans_clusters": kmeans_clusters,
+    "xy_cut_layout": xy_cut_q,
+    "bm25_search": bm25_search,
+    "embed_topk_cosine": embed_topk_cosine,
+    "embed_ivf_topk": embed_ivf_topk,
+    "embed_quantized_topk": embed_quantized_topk,
+    "embed_blocked_top_pairs": embed_blocked_top_pairs,
+    "embed_hyperplane_pairs": embed_hyperplane_pairs,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "customers_without_orders": customers_without_orders,
+    "page_group_concat": page_group_concat,
+    "dedup_exact": dedup_exact,
+    "minhash_lsh_pairs": minhash_lsh_pairs_q,
+    "dedup_components_star": dedup_components_star,
+    "dedup_apply": dedup_apply,
+    "semantic_dedup": semantic_dedup_q,
+    "bpe_train_merges": bpe_train_q,
+    "winnow_pairs": winnow_pairs_q,
+    "segment_dedup": segment_dedup_q,
+    "dsir_select": dsir_select_q,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3110,6 +3237,8 @@ ORACLE_SQL: dict[str, str] = {
     "dsir_select": DSIR_SELECT_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "bpe_train_merges": BPE_TRAIN_SQL,
+    "bpe_train_long": BPE_TRAIN_LONG_SQL,
+    "media_features": MEDIA_FEATURES_SQL,
     "bpe_encode_counts": BPE_ENCODE_SQL,
     "winnow_fingerprints": WINNOW_SQL,
     "winnow_pairs": WINNOW_PAIRS_SQL,

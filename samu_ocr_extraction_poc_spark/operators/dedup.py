@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.textfns import let_bound, normalized, tokens
+from ..functions.textfns import let_bound, normalized, token_count, token_md5_long, tokens
 
 SIMHASH_BITS = 32
 
@@ -647,6 +647,24 @@ def remove_shared_windows(
         .where(~((F.col("doc_id") == F.col("f.doc_id")) & (F.col("s") == F.col("f.s"))))
         .select("doc_id", "s")
     )
+    out = _strip_dup_windows(df, dup, text_col, id_col, k)
+    if not eager:
+        # plan-inspection hook (tests): nothing was persisted or executed
+        return out
+    out = out.localCheckpoint(eager=True)
+    wins.unpersist()
+    return out
+
+
+def _strip_dup_windows(
+    df: DataFrame, dup: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Shared removal tail for the exact-substring APPLY family: duplicate
+    (doc_id, s) window starts -> interval cover -> one left join against
+    the token explode -> per-document ordered re-assembly. The dup frame
+    is tiny in clean corpora; everything else is narrow on the scan plus
+    one bounded collect_list per document."""
+    n = token_count(F.col(text_col))
     removed = dup.select(
         "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("p")
     ).distinct()
@@ -670,7 +688,7 @@ def remove_shared_windows(
             " ",
         ).alias("clean_text"),
     )
-    out = (
+    return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(per_doc, "doc_id", "left")
         .select(
@@ -680,8 +698,117 @@ def remove_shared_windows(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+# rolling-screen constants: 31-bit Mersenne modulus keeps every product in
+# the fold under 2^52 (BIGINT-safe on both engines); the base is any odd
+# constant below the modulus
+_ROLL_M = 2147483647  # 2^31 - 1
+_ROLL_B = 1000003
+
+
+def remove_shared_windows_screened(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    eager: bool = True,
+) -> DataFrame:
+    """Two-pass :func:`remove_shared_windows` for the 100 TB path: the
+    stride-1 exact pass md5-hashes every k-token window string — O(n*k)
+    characters hashed, the dominant cost at corpus scale (the docstring's
+    documented price of exactness). This variant cuts the char-hashing
+    ~k-fold while producing BIT-IDENTICAL output (pinned by
+    tests/test_scale_paths.py::test_remove_shared_windows_screened_identical):
+
+    Pass 1 (screen): each token is md5-hashed ONCE (O(n) chars), and each
+    window's screen key is a k-term polynomial fold over the precomputed
+    token hashes mod 2^31-1 — pure JVM integer arithmetic, no further
+    char hashing. Identical window content folds to an identical key, so
+    a key with global count >= 2 marks every occurrence of every truly
+    duplicated window: false negatives are impossible; false positives
+    (31-bit birthday collisions) only add candidates.
+
+    Pass 2 (verify-on-candidates): ONLY candidate windows are re-hashed
+    with the exact 60-bit md5 window key (in clean corpora a vanishing
+    fraction of n), then the keep-first / interval-cover / re-assembly
+    tail runs on verified duplicates exactly as in
+    :func:`remove_shared_windows` — a hash with a single exact occurrence
+    is its own first occurrence and drops out of the duplicate set, so
+    collision-induced candidates cannot remove anything. Every occurrence
+    of a duplicated content is a candidate (same content ⇒ same screen
+    key), so first-occurrence over candidates equals global
+    first-occurrence.
+
+    Shuffle volume matches the exact pass (one groupBy over n window
+    keys); the saving is CPU — char hashing down from n*k*chars_per_token
+    to n*chars_per_token + bounded candidate re-hashing.
+    """
+    from ..functions.textfns import token_count, token_md5_long
+
+    n = token_count(F.col(text_col))
+    screen_keys = let_bound(
+        F.transform(tokens(F.col(text_col)), lambda t: token_md5_long(t) % _ROLL_M),
+        lambda th: F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda s: F.struct(
+                s.alias("s"),
+                F.aggregate(
+                    F.slice(th, s, k),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: (acc * _ROLL_B + x) % _ROLL_M,
+                ).alias("rk"),
+            ),
+        ),
+    )
+    wins = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.when(n >= k, screen_keys)
+            .otherwise(F.array().cast("array<struct<s:int,rk:bigint>>"))
+            .alias("ws"),
+        )
+        .select("doc_id", F.explode("ws").alias("w"))
+        .select("doc_id", F.col("w.s").alias("s"), F.col("w.rk").alias("rk"))
+    )
+    if eager:
+        wins = wins.persist()
+        wins.count()
+    cand_keys = wins.groupBy("rk").agg(F.count("*").alias("c")).where(F.col("c") >= 2)
+    cand = wins.join(cand_keys.select("rk"), "rk").select("doc_id", "s")
+    # pass 2: exact md5 only for candidate windows — group the starts per
+    # doc, join the text back once, slice+hash each candidate window
+    cand_by_doc = cand.groupBy("doc_id").agg(F.collect_list("s").alias("ss"))
+    exact = (
+        df.select(F.col(id_col).alias("doc_id"), text_col)
+        .join(cand_by_doc, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                let_bound(
+                    tokens(F.col(text_col)),
+                    lambda toks: F.transform(
+                        F.col("ss"),
+                        lambda s: F.struct(
+                            s.alias("s"),
+                            token_md5_long(
+                                F.array_join(F.slice(toks, s, k), " ")
+                            ).alias("h"),
+                        ),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+    )
+    first = exact.groupBy("h").agg(F.min(F.struct("doc_id", "s")).alias("f"))
+    dup = (
+        exact.join(first, "h")
+        .where(~((F.col("doc_id") == F.col("f.doc_id")) & (F.col("s") == F.col("f.s"))))
+        .select("doc_id", "s")
+    )
+    out = _strip_dup_windows(df, dup, text_col, id_col, k)
     if not eager:
-        # plan-inspection hook (tests): nothing was persisted or executed
         return out
     out = out.localCheckpoint(eager=True)
     wins.unpersist()

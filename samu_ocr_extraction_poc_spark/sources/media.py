@@ -307,8 +307,14 @@ def _real_decode(content: bytes, media_type: str) -> dict:
     )
 
 
-def decode_media(df: DataFrame, use_real_codecs: bool = False) -> DataFrame:
-    """(media rows) -> decoded metadata + feature vectors, Arrow-batched."""
+def decode_media(df: DataFrame, use_real_codecs: bool = True) -> DataFrame:
+    """(media rows) -> decoded metadata + feature vectors, Arrow-batched.
+
+    The REAL codec path is the default since round 5 (r4 verdict item 2):
+    callers of the public surface get true pixel/sample statistics, and
+    bytes that are not valid containers degrade to per-row errors. Pass
+    ``use_real_codecs=False`` explicitly for the legacy sha256-fake path
+    (plumbing fixtures whose blobs are opaque hashes, not containers)."""
     decode = _real_decode if use_real_codecs else _fake_decode
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

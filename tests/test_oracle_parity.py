@@ -145,31 +145,36 @@ def test_every_query_is_oracled_or_allowlisted():
 
 
 # The driver's correctness gate checks only the FIRST 50 queries() entries
-# (insertion order). This list IS the round-4 rotation decision — the
-# flagship extraction family, everything never driver-checked before r4,
-# the r02-only-checked block, then a rotating fill (see the ORDERING
-# CONTRACT comment at contract.py QUERIES). Change it ONLY together with
-# the dict: the test below exists so adding a query can never again
-# silently push verification out of the gate window (VERDICT r3 items 1+3).
+# (insertion order). This list IS the round-5 rotation decision — the
+# flagship extraction family, the r5-new entries (media_features,
+# bpe_train_long), the kept r4-new block, then the stalest evidence first:
+# the r02-only pair and 32 of the 35 r03-only entries (the three cut by
+# the cap — dedup_components, simhash, bpe_token_counts — have
+# same-family in-window coverage and head the r6 rotation; see the
+# ORDERING CONTRACT comment at contract.py QUERIES). Change it ONLY
+# together with the dict: the test below exists so adding a query can
+# never again silently push verification out of the gate window
+# (VERDICT r3 items 1+3, r4 item 3).
 DRIVER_WINDOW_50 = [
     "extract_pipeline", "extract_routing_check", "extract_letter_text_check",
     "extract_email_text_check", "extract_transcript_text_check",
     "extract_html_text_check", "extract_pleading_medical_text_check",
     "html_strip",
-    "embed_contamination", "centroid_classify", "contamination_report",
-    "source_stats", "source_filter", "incremental_dedup", "epoch_upsample",
-    "top_ngrams", "sample_exact_n", "kmv_distinct", "kmv_overlap",
-    "curate_corpus", "curate_corpus_v2",
+    "media_features", "bpe_train_long",
     "remove_shared_windows", "extract_order_check", "gopher_rules",
     "c4_rules", "url_dedup", "bloom_probe",
-    "kmeans_clusters", "xy_cut_layout", "bm25_search", "embed_topk_cosine",
-    "embed_ivf_topk", "embed_quantized_topk", "embed_blocked_top_pairs",
-    "embed_hyperplane_pairs",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "topk_orders_per_customer", "customers_without_orders",
-    "page_group_concat", "dedup_exact", "minhash_lsh_pairs",
-    "dedup_components_star", "dedup_apply", "semantic_dedup",
-    "bpe_train_merges", "winnow_pairs", "segment_dedup", "dsir_select",
+    "events_hourly", "user_sessions",
+    "rollup_revenue", "pivot_status_by_segment", "running_customer_revenue",
+    "doc_digests", "money_normalize", "source_router",
+    "first_seen_event_types", "dedup_keepfirst", "minhash_signatures",
+    "simhash_near_pairs", "props_parse", "ngram_jaccard_top_pairs",
+    "token_stats", "lang_id_heuristic", "shared_window_pairs",
+    "contamination_check", "repetition_stats", "pack_token_windows",
+    "pack_assignments", "chunk_documents", "stratified_sample",
+    "sample_documents", "quality_filter", "budget_sample", "pii_redact",
+    "lm_surprise", "lm_surprise_bigram", "boilerplate_strip",
+    "dsir_weights", "bpe_encode_counts", "winnow_fingerprints",
+    "blocklist_filter",
 ]
 
 
