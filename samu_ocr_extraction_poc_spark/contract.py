@@ -1383,6 +1383,65 @@ FROM hits
 """
 
 
+def cms_word_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketch.py:cms_build/
+    cms_query; Cormode & Muthukrishnan 2005): the corpus's word stream
+    builds a 3x1024-cell sketch (one partial-aggregable groupBy/sum),
+    then every distinct word of the doc_id % 97 == 0 slice is
+    point-estimated against it. Output carries the estimate, the exact
+    count, and the structural no-undercount flag (est >= exact, ALWAYS —
+    the oracle proves it holds for every probe word, collisions
+    included: at width 1024 the ~3.4k-word sf0.01 vocabulary collides
+    heavily, so the overestimate path is genuinely exercised, not
+    vacuous). Cells are pure md5 arithmetic — estimates replay
+    bit-identically on DuckDB."""
+    from .operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(TX.tokens(TX.normalized(F.col("text")))).alias("key")
+    ).where(F.length("key") > 0)
+    sk = SK.cms_build(words, "key", width=1024, depth=3)
+    probe = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(TX.tokens(TX.normalized(F.col("text")))).alias("key"))
+        .where(F.length("key") > 0)
+    )
+    est = SK.cms_query(sk, probe, "key", width=1024, depth=3)
+    exact = words.groupBy("key").agg(F.count("*").cast("bigint").alias("exact"))
+    return est.join(exact, "key").select(
+        F.col("key").alias("word"),
+        "est",
+        "exact",
+        (F.col("est") >= F.col("exact")).cast("int").alias("no_undercount"),
+    )
+
+
+CMS_SQL = """
+WITH cw0 AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS key
+             FROM documents),
+cw AS (SELECT key FROM cw0 WHERE length(key) > 0),
+cjs AS (SELECT unnest([0, 1, 2]) AS j),
+ccells AS (SELECT j AS d,
+                  ('0x' || substr(md5('cms' || j || ':' || key), 1, 15))::BIGINT % 1024 AS c,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM cw CROSS JOIN cjs GROUP BY 1, 2),
+cpw0 AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS key
+         FROM documents WHERE doc_id % 97 = 0),
+cpw AS (SELECT DISTINCT key FROM cpw0 WHERE length(key) > 0),
+cpe AS (SELECT cpw.key, CAST(min(coalesce(ccells.cnt, 0)) AS BIGINT) AS est
+        FROM cpw CROSS JOIN cjs
+        LEFT JOIN ccells
+          ON ccells.d = cjs.j
+         AND ccells.c = ('0x' || substr(md5('cms' || cjs.j || ':' || cpw.key), 1, 15))::BIGINT % 1024
+        GROUP BY cpw.key),
+cex AS (SELECT key, CAST(count(*) AS BIGINT) AS exact FROM cw GROUP BY key)
+SELECT cpe.key AS word, cpe.est, cex.exact,
+       CAST(CASE WHEN cpe.est >= cex.exact THEN 1 ELSE 0 END AS INT) AS no_undercount
+FROM cpe JOIN cex ON cex.key = cpe.key
+"""
+
+
 def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode under the driver gate (sources/media.py:
     decode_media, default = real codecs since r5; reference analog: S5
@@ -1506,6 +1565,26 @@ def remove_shared_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return DD.remove_shared_windows(docs, k=16)
+
+
+def remove_shared_windows_screened_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-pass screen+verify variant of remove_shared_windows
+    (operators/dedup.py:remove_shared_windows_screened — the 100 TB cost
+    path: each token md5-hashed once, window keys a polynomial fold over
+    the token hashes, exact md5 re-hash only on candidate windows). Output
+    is BIT-IDENTICAL to the stride-1 exact pass by construction, so it
+    shares REMOVE_SHARED_SQL — the oracle check proves the screen loses
+    nothing on the same injected-passage corpus."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(F.col("text"), F.lit(" " + DUP_PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return DD.remove_shared_windows_screened(docs, k=16)
 
 
 REMOVE_SHARED_SQL = f"""
@@ -3183,6 +3262,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs": winnow_pairs_q,
     "segment_dedup": segment_dedup_q,
     "dsir_select": dsir_select_q,
+    # new r5, position 51+: local-gate oracle evidence for the screen path
+    "remove_shared_windows_screened": remove_shared_windows_screened_q,
+    # new r5, position 51+: count-min frequency sketch (est/exact/guarantee)
+    "cms_word_counts": cms_word_counts_q,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3229,10 +3312,12 @@ ORACLE_SQL: dict[str, str] = {
     "boilerplate_strip": BOILERPLATE_SQL,
     "segment_dedup": SEGMENT_DEDUP_SQL,
     "remove_shared_windows": REMOVE_SHARED_SQL,
+    "remove_shared_windows_screened": REMOVE_SHARED_SQL,
     "gopher_rules": GOPHER_SQL,
     "c4_rules": C4_SQL,
     "url_dedup": URL_DEDUP_SQL,
     "bloom_probe": BLOOM_SQL,
+    "cms_word_counts": CMS_SQL,
     "dsir_weights": DSIR_SQL,
     "dsir_select": DSIR_SELECT_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,

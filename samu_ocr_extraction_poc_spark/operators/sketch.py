@@ -198,6 +198,144 @@ def bloom_probe(
     )
 
 
+# Count-min meta sentinels: d is the depth row index (real rows d >= 0),
+# the separate-rows discipline from the Bloom handshake above.
+_CMS_META_W = -1
+_CMS_META_D = -2
+
+
+def _cms_positions(
+    keyed: DataFrame, width: int, depth: int, key_col: str, *carry: str
+) -> DataFrame:
+    """(carry..., d, c) rows: each key's cell coordinate per depth row —
+    row d hashes the key with an independent md5 prefix, column =
+    hash % width. ONE shared construction for build and query (the
+    Bloom discipline: both sides must stay bit-identical)."""
+    pos = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("bigint").alias("d"),
+                (
+                    token_md5_long(F.col(key_col), prefix=f"cms{j}:")
+                    % F.lit(width)
+                ).cast("bigint").alias("c"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return keyed.select(*carry, F.explode(pos).alias("p")).select(
+        *carry, F.col("p.d").alias("d"), F.col("p.c").alias("c")
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str = "key",
+    width: int = 1 << 12,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Distributed count-min sketch BUILD (Cormode & Muthukrishnan 2005):
+    the bounded-memory FREQUENCY structure — where Bloom answers "seen at
+    all?", CMS answers "seen about how often?" (heavy-hitter screens,
+    per-key rate limits, frequency-weighted sampling) in depth*width
+    cells regardless of corpus size. Each key occurrence adds its weight
+    (default 1) to one cell per depth row; the build is ONE
+    partial-aggregable groupBy/sum over (d, c). Mergeable: union of
+    sketches = per-cell sum (identical meta rows sum to doubled
+    sentinels, which the query refuses — a mismatched merge cannot pass).
+    Stored as (d, c, cnt) rows plus meta rows d=-1 (width) / d=-2
+    (depth), the Bloom separate-rows handshake.
+
+    Determinism contract: cells are pure md5 arithmetic — estimates,
+    including collision-induced overestimates, replay bit-identically on
+    DuckDB. Structural guarantee: estimate >= true count, always."""
+    keyed = df.select(
+        F.col(key_col).alias("k__"),
+        (F.col(weight_col) if weight_col else F.lit(1)).cast("bigint").alias("w__"),
+    )
+    cells = (
+        _cms_positions(keyed, width, depth, "k__", "w__")
+        .groupBy("d", "c")
+        .agg(F.sum("w__").alias("cnt"))
+    )
+    meta = df.sparkSession.createDataFrame(
+        [(_CMS_META_W, 0, width), (_CMS_META_D, 0, depth)],
+        "d bigint, c bigint, cnt bigint",
+    )
+    return cells.unionByName(meta)
+
+
+def cms_merge(a: DataFrame, b: DataFrame, width: int = 1 << 12, depth: int = 4) -> DataFrame:
+    """Merge two :func:`cms_build` sketches: per-cell sum of the count
+    rows (the CMS linearity property — the merged sketch is exactly the
+    sketch of the concatenated inputs), after a meta handshake on BOTH
+    inputs (2 rows each). Meta rows are carried once, not summed. Inputs
+    are localCheckpoint-ed so the handshake collect and the merged plan
+    read one materialization each (the bloom_probe discipline)."""
+    a = a.localCheckpoint(eager=True)
+    b = b.localCheckpoint(eager=True)
+    for side, frame in (("left", a), ("right", b)):
+        meta = {r["d"]: r["cnt"] for r in frame.where(F.col("d") < 0).collect()}
+        if meta.get(_CMS_META_W) != width or meta.get(_CMS_META_D) != depth:
+            raise ValueError(
+                f"cms merge meta mismatch on {side} input: expected "
+                f"width={width}, depth={depth}, found "
+                f"width={meta.get(_CMS_META_W)}, depth={meta.get(_CMS_META_D)}"
+            )
+    cells = (
+        a.where(F.col("d") >= 0)
+        .unionByName(b.where(F.col("d") >= 0))
+        .groupBy("d", "c")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return cells.unionByName(a.where(F.col("d") < 0))
+
+
+def cms_query(
+    cms: DataFrame,
+    probe: DataFrame,
+    key_col: str = "key",
+    width: int = 1 << 12,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-estimate keys against a :func:`cms_build` sketch: estimate =
+    min over the depth rows of the key's cell counts (an absent cell is
+    0 — only reachable for keys never built). Validates the sketch's
+    meta rows against this query's (width, depth) first and raises on
+    mismatch (the Bloom handshake; silently querying a differently-
+    shaped sketch returns garbage, not an error). The sketch frame is
+    localCheckpoint-ed so the meta collect and the join read one
+    materialization; the cell table is broadcastable at any corpus size
+    (bounded by depth*width rows). Returns (key, est) — one row per
+    DISTINCT probe key; est >= the key's true built count, with
+    deterministic md5-collision overestimates."""
+    cms = cms.localCheckpoint(eager=True)
+    meta = {r["d"]: r["cnt"] for r in cms.where(F.col("d") < 0).collect()}
+    if meta.get(_CMS_META_W) != width or meta.get(_CMS_META_D) != depth:
+        raise ValueError(
+            f"cms meta mismatch: query expects width={width}, depth={depth}, "
+            f"sketch carries width={meta.get(_CMS_META_W)}, "
+            f"depth={meta.get(_CMS_META_D)} — "
+            "build and query must use identical parameters"
+        )
+    cells = cms.where(F.col("d") >= 0)
+    pos = _cms_positions(
+        probe.select(F.col(key_col).alias("key")).distinct(),
+        width,
+        depth,
+        "key",
+        "key",
+    )
+    return (
+        pos.join(F.broadcast(cells), ["d", "c"], "left")
+        .select("key", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy("key")
+        .agg(F.min("cnt").cast("bigint").alias("est"))
+        .withColumnRenamed("key", key_col)
+    )
+
+
 def kmv_distinct_tokens(
     df: DataFrame,
     k: int = 64,

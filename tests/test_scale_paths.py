@@ -1476,6 +1476,60 @@ def test_bloom_membership_semantics(spark):
         bloom_probe(bloom, probe, "key", k=5).collect()
 
 
+def test_cms_semantics(spark):
+    """Count-min sketch: estimates never undercount (the structural
+    guarantee); at a wide sketch over a tiny key set there are no
+    collisions, so estimates are exact; merged sketches equal the sketch
+    of the concatenated input (CMS linearity); a width/depth-mismatched
+    query or merge refuses (the meta handshake)."""
+    import pytest as _pt
+
+    from samu_ocr_extraction_poc_spark.operators.sketch import (
+        cms_build,
+        cms_merge,
+        cms_query,
+    )
+
+    xs = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("c",), ("c",)], "key string"
+    )
+    ys = spark.createDataFrame([("a",), ("d",)], "key string")
+    probe = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("unseen",)], "key string"
+    )
+    sk = cms_build(xs, "key")
+    est = {r["key"]: r["est"] for r in cms_query(sk, probe, "key").collect()}
+    # wide sketch, 3 keys: collision-free -> exact; unseen key -> 0
+    assert est == {"a": 3, "b": 1, "c": 2, "d": 0, "unseen": 0}
+
+    merged = cms_merge(cms_build(xs, "key"), cms_build(ys, "key"))
+    both = cms_build(xs.unionByName(ys), "key")
+    em = sorted(map(tuple, cms_query(merged, probe, "key").collect()))
+    eb = sorted(map(tuple, cms_query(both, probe, "key").collect()))
+    assert em == eb
+    assert dict(em)["a"] == 4 and dict(em)["d"] == 1
+
+    with _pt.raises(ValueError, match="cms meta mismatch"):
+        cms_query(sk, probe, "key", width=512).collect()
+    with _pt.raises(ValueError, match="cms merge meta mismatch"):
+        cms_merge(sk, cms_build(ys, "key", depth=2))
+
+    # narrow sketch over a larger weighted stream: collisions now real;
+    # the no-undercount guarantee must hold for every key
+    big = spark.createDataFrame(
+        [(f"k{i % 37}",) for i in range(500)], "key string"
+    )
+    nsk = cms_build(big, "key", width=16, depth=2)
+    exact = {r["key"]: r["cnt"] for r in big.groupBy("key").count().withColumnRenamed("count", "cnt").collect()}
+    nest = {
+        r["key"]: r["est"]
+        for r in cms_query(nsk, big.distinct(), "key", width=16, depth=2).collect()
+    }
+    assert set(nest) == set(exact)
+    assert all(nest[k] >= exact[k] for k in exact)
+    assert any(nest[k] > exact[k] for k in exact)  # collisions really fire
+
+
 def test_normalize_url_semantics(spark):
     """URL canonicalization edge shapes: fragment drop, tracking-param
     strip (order of survivors preserved), www collapse, trailing-slash
