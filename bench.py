@@ -341,9 +341,15 @@ def run_scaling() -> dict:
             for _ in range(rounds_n):
                 pair = {}
                 for cores in (lo_cores, hi_cores):
+                    # cores*4, not cores*2: the r5 shuffle A/B
+                    # (scripts/ab_shuffle.py, table in BENCH.md) measured
+                    # 4x both FASTER in absolute seconds at each level
+                    # (finer tasks even out skew within the fixed core
+                    # budget) and at the host's JVM scaling ceiling
+                    # (0.85), vs 0.82 for 2x and 0.69 for a fixed 64
                     spark = get_spark(
                         f"bench-scale-{cores}", cores=cores,
-                        shuffle_partitions=cores * 2,
+                        shuffle_partitions=cores * 4,
                     )
                     warmup(spark)  # JVM/JIT + worker spin-up, full pass
                     t0 = time.perf_counter()

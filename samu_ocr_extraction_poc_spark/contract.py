@@ -1442,6 +1442,56 @@ FROM cpe JOIN cex ON cex.key = cpe.key
 """
 
 
+def length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution quantiles off a mergeable equi-width
+    histogram sketch (operators/sketch.py:hist_build/hist_quantiles —
+    the distribution member of the sketch family: Bloom membership, CMS
+    frequency, KMV distinct). Quantiles calibrate every threshold gate
+    (quality_filter, gopher_rules length bounds); at 100 TB the build is
+    one partial-aggregable groupBy over <= 64 bins, and the read-off is
+    pure bounded-size integer relational algebra — no global sort, no
+    SinglePartition window, no engine-specific approx_percentile. The
+    rnk-th order statistic's bin edges are a hard guarantee; est is a
+    documented floor-integer interpolation, so DuckDB replays every
+    value exactly."""
+    from .operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    h = SK.hist_build(
+        docs.select(F.length("text").alias("len")), "len", lo=0, hi=4096, n_bins=64
+    )
+    return SK.hist_quantiles(
+        h, [10, 25, 50, 75, 90, 99], lo=0, hi=4096, n_bins=64
+    )
+
+
+LENGTH_QUANTILES_SQL = """
+WITH hv AS (SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
+hb AS (SELECT CAST(least(63, greatest(0, (v * 64) // 4096)) AS BIGINT) AS b,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM hv GROUP BY 1),
+hcum AS (SELECT a.b, a.cnt, CAST(sum(c.cnt) AS BIGINT) AS cum
+         FROM hb a JOIN hb c ON c.b <= a.b GROUP BY a.b, a.cnt),
+ht AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hb),
+hp AS (SELECT unnest([10, 25, 50, 75, 90, 99]) AS p),
+hr AS (SELECT CAST(p AS BIGINT) AS p,
+              CAST(greatest(1, (n_total * p + 99) // 100) AS BIGINT) AS rnk
+       FROM hp CROSS JOIN ht),
+hhit AS (SELECT hr.p, hr.rnk, min(hcum.b) AS b
+         FROM hr JOIN hcum ON hcum.cum >= hr.rnk
+         GROUP BY hr.p, hr.rnk),
+hsel AS (SELECT hhit.p, hhit.rnk, hhit.b, hcum.cnt, hcum.cum
+         FROM hhit JOIN hcum ON hcum.b = hhit.b)
+SELECT p, rnk,
+       CAST((b * 4096) // 64
+            + ((rnk - (cum - cnt) - 1) * (((b + 1) * 4096) // 64 - (b * 4096) // 64)) // cnt
+            AS BIGINT) AS est,
+       CAST((b * 4096) // 64 AS BIGINT) AS bin_lo,
+       CAST(((b + 1) * 4096) // 64 AS BIGINT) AS bin_hi
+FROM hsel
+"""
+
+
 def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode under the driver gate (sources/media.py:
     decode_media, default = real codecs since r5; reference analog: S5
@@ -3266,6 +3316,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_shared_windows_screened": remove_shared_windows_screened_q,
     # new r5, position 51+: count-min frequency sketch (est/exact/guarantee)
     "cms_word_counts": cms_word_counts_q,
+    # new r5, position 51+: histogram-sketch length quantiles
+    "length_quantiles": length_quantiles_q,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3318,6 +3370,7 @@ ORACLE_SQL: dict[str, str] = {
     "url_dedup": URL_DEDUP_SQL,
     "bloom_probe": BLOOM_SQL,
     "cms_word_counts": CMS_SQL,
+    "length_quantiles": LENGTH_QUANTILES_SQL,
     "dsir_weights": DSIR_SQL,
     "dsir_select": DSIR_SELECT_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,

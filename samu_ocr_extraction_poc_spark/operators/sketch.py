@@ -336,6 +336,170 @@ def cms_query(
     )
 
 
+# Histogram meta sentinels: b is the bin index (real rows b >= 0), the
+# separate-rows discipline shared with the Bloom/CMS handshakes above.
+_HIST_META_LO = -1
+_HIST_META_HI = -2
+_HIST_META_N = -3
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    lo: int = 0,
+    hi: int = 1 << 20,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Equi-width histogram BUILD — the bounded-memory DISTRIBUTION
+    sketch completing the family (Bloom: membership, CMS: frequency,
+    KMV: distinct count): length/score quantiles calibrate every
+    threshold-based corpus gate, and at 100 TB the exact answer (a global
+    sort, or Spark's engine-specific approx_percentile) is either the
+    wrong plan or non-replayable cross-engine. n_bins counts bound memory
+    regardless of corpus size; the build is ONE partial-aggregable
+    groupBy/count on a narrow integer projection. Mergeable: per-bin sum
+    (hist_merge). Values below lo / at-or-above hi clamp into the first /
+    last bin (documented, oracled identically — pick [lo, hi) to cover
+    the mass you care about).
+
+    Bin index is pure integer arithmetic, b = ((v - lo) * n_bins) DIV
+    (hi - lo) clamped to [0, n_bins); nonnegative operands make Spark's
+    DIV and DuckDB's // the same floor division, so the sketch and every
+    quantile read off it replay bit-identically. Stored as (b, cnt) rows
+    plus meta rows b=-1 (lo) / b=-2 (hi) / b=-3 (n_bins) — the
+    separate-rows parameter handshake (a mismatched read refuses rather
+    than interpolating against the wrong edges)."""
+    span = hi - lo
+    cells = (
+        df.select(F.col(value_col).cast("bigint").alias("v__"))
+        .where(F.col("v__").isNotNull())
+        .select(
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.expr(f"((v__ - {lo}) * {n_bins}) DIV {span}"),
+                ),
+            )
+            .cast("bigint")
+            .alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    meta = df.sparkSession.createDataFrame(
+        [(_HIST_META_LO, lo), (_HIST_META_HI, hi), (_HIST_META_N, n_bins)],
+        "b bigint, cnt bigint",
+    )
+    return cells.unionByName(meta)
+
+
+def _hist_handshake(hist: DataFrame, lo: int, hi: int, n_bins: int, what: str) -> DataFrame:
+    """localCheckpoint + meta validation; returns the materialized frame
+    so the caller's plan reads the same materialization the handshake
+    collected (the bloom_probe/cms_query discipline)."""
+    hist = hist.localCheckpoint(eager=True)
+    meta = {r["b"]: r["cnt"] for r in hist.where(F.col("b") < 0).collect()}
+    found = (meta.get(_HIST_META_LO), meta.get(_HIST_META_HI), meta.get(_HIST_META_N))
+    if found != (lo, hi, n_bins):
+        raise ValueError(
+            f"hist meta mismatch on {what}: expected (lo, hi, n_bins)="
+            f"{(lo, hi, n_bins)}, sketch carries {found} — "
+            "build and read must use identical parameters"
+        )
+    return hist
+
+
+def hist_merge(
+    a: DataFrame, b: DataFrame, lo: int = 0, hi: int = 1 << 20, n_bins: int = 256
+) -> DataFrame:
+    """Merge two :func:`hist_build` sketches: per-bin sum of the count
+    rows (exactly the histogram of the concatenated inputs), after the
+    meta handshake on BOTH inputs. Meta rows are carried once, not
+    summed."""
+    a = _hist_handshake(a, lo, hi, n_bins, "left merge input")
+    b = _hist_handshake(b, lo, hi, n_bins, "right merge input")
+    cells = (
+        a.where(F.col("b") >= 0)
+        .unionByName(b.where(F.col("b") >= 0))
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return cells.unionByName(a.where(F.col("b") < 0))
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    percentiles: list[int],
+    lo: int = 0,
+    hi: int = 1 << 20,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Quantile read-off over a :func:`hist_build` sketch, fully
+    relational and fully integer — (p, rnk, est, bin_lo, bin_hi) per
+    requested integer percentile in [1, 100]:
+
+    - rnk = ceil(N * p / 100), the 1-based order statistic targeted
+      (percentile_disc convention);
+    - the carrying bin = the FIRST bin whose cumulative count reaches
+      rnk, found by a min-struct agg (never a global rank window);
+    - est = within-bin linear interpolation in floor-integer arithmetic,
+      bin_lo + ((i - 1) * (bin_hi - bin_lo)) DIV cnt for the bin's i-th
+      member — deterministic, replayed exactly by DuckDB's //;
+    - bin_lo / bin_hi = the bin's edges: the sketch's hard promise is
+      bin_lo <= true percentile value < bin_hi (clamped mass aside),
+      est is the documented-formula point inside it.
+
+    Every frame here is bounded by n_bins or len(percentiles) rows — the
+    cumulative sum is a self-join over <= n_bins^2 pairs and the rest are
+    broadcast-size cross joins, so nothing in the plan scales with corpus
+    size and no SinglePartition window appears."""
+    hist = _hist_handshake(hist, lo, hi, n_bins, "quantile read")
+    spark = hist.sparkSession
+    cells = hist.where(F.col("b") >= 0)
+    total = cells.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    # cumulative count per bin: sum over bins <= b (n_bins^2 pairs max)
+    cum = (
+        cells.alias("a")
+        .join(F.broadcast(cells.alias("c")), F.col("c.b") <= F.col("a.b"))
+        .groupBy(F.col("a.b").alias("b"), F.col("a.cnt").alias("cnt"))
+        .agg(F.sum("c.cnt").cast("bigint").alias("cum"))
+    )
+    percs = spark.createDataFrame([(int(p),) for p in percentiles], "p bigint")
+    ranked = percs.crossJoin(F.broadcast(total)).select(
+        "p",
+        F.greatest(F.lit(1), F.expr("(n_total * p + 99) DIV 100"))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    hit = (
+        ranked.join(F.broadcast(cum), F.col("cum") >= F.col("rnk"))
+        .groupBy("p", "rnk")
+        .agg(F.min(F.struct("b", "cnt", "cum")).alias("h"))
+    )
+    span = hi - lo
+    return hit.select(
+        "p",
+        "rnk",
+        "h",
+        F.expr(f"{lo} + (h.b * {span}) DIV {n_bins}").cast("bigint").alias("bin_lo"),
+        F.expr(f"{lo} + ((h.b + 1) * {span}) DIV {n_bins}").cast("bigint").alias("bin_hi"),
+    ).select(
+        "p",
+        "rnk",
+        (
+            F.col("bin_lo")
+            + F.expr(
+                "((rnk - (h.cum - h.cnt) - 1) * (bin_hi - bin_lo)) DIV h.cnt"
+            )
+        )
+        .cast("bigint")
+        .alias("est"),
+        "bin_lo",
+        "bin_hi",
+    )
+
+
 def kmv_distinct_tokens(
     df: DataFrame,
     k: int = 64,

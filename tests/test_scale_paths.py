@@ -1530,6 +1530,49 @@ def test_cms_semantics(spark):
     assert any(nest[k] > exact[k] for k in exact)  # collisions really fire
 
 
+def test_hist_quantile_semantics(spark):
+    """Histogram sketch: bin edges and interpolated estimates match the
+    hand-computed integer arithmetic (incl. top-bin clamping of
+    out-of-range values); merged histograms equal the histogram of the
+    concatenated input; a parameter-mismatched read or merge refuses."""
+    import pytest as _pt
+
+    from samu_ocr_extraction_poc_spark.operators.sketch import (
+        hist_build,
+        hist_merge,
+        hist_quantiles,
+    )
+
+    vals = spark.createDataFrame([(5,), (10,), (15,), (20,), (100,)], "v bigint")
+    h = hist_build(vals, "v", lo=0, hi=100, n_bins=10)
+    out = {
+        r["p"]: (r["rnk"], r["est"], r["bin_lo"], r["bin_hi"])
+        for r in hist_quantiles(h, [20, 50, 80, 100], lo=0, hi=100, n_bins=10).collect()
+    }
+    # bins: 5->b0, 10,15->b1, 20->b2, 100 clamps into b9; N=5
+    assert out[20] == (1, 0, 0, 10)  # 1st order stat, bin 0 first member
+    assert out[50] == (3, 15, 10, 20)  # 2nd of 2 in bin [10,20): 10+10//2
+    assert out[80] == (4, 20, 20, 30)
+    assert out[100] == (5, 90, 90, 100)  # clamped 100 reported in top bin
+
+    # linearity: merge of two halves == histogram of the whole
+    h1 = hist_build(vals.where(F.col("v") <= 10), "v", lo=0, hi=100, n_bins=10)
+    h2 = hist_build(vals.where(F.col("v") > 10), "v", lo=0, hi=100, n_bins=10)
+    merged = hist_merge(h1, h2, lo=0, hi=100, n_bins=10)
+    em = sorted(map(tuple, hist_quantiles(merged, [50, 100], lo=0, hi=100, n_bins=10).collect()))
+    eb = sorted(map(tuple, hist_quantiles(h, [50, 100], lo=0, hi=100, n_bins=10).collect()))
+    assert em == eb
+
+    with _pt.raises(ValueError, match="hist meta mismatch"):
+        hist_quantiles(h, [50], lo=0, hi=100, n_bins=20).collect()
+    with _pt.raises(ValueError, match="hist meta mismatch"):
+        hist_merge(h, hist_build(vals, "v", lo=0, hi=200, n_bins=10), lo=0, hi=100, n_bins=10)
+
+    # empty input: meta-only sketch reads off as zero quantile rows
+    empty = hist_build(vals.where(F.col("v") < 0), "v", lo=0, hi=100, n_bins=10)
+    assert hist_quantiles(empty, [50], lo=0, hi=100, n_bins=10).count() == 0
+
+
 def test_normalize_url_semantics(spark):
     """URL canonicalization edge shapes: fragment drop, tracking-param
     strip (order of survivors preserved), www collapse, trailing-slash
