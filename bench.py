@@ -251,7 +251,11 @@ def run_amortization(spark) -> dict:
     out: dict = {}
     d = tempfile.mkdtemp(prefix="bench_idx_")
     try:
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        # The sandbox parquet is single-row-group: without the contract's
+        # _t()-style repartition every scan stage here would run as ONE
+        # task and the amortization numbers would time the serial path.
+        par = spark.sparkContext.defaultParallelism
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(par)
         corpus = docs.where(F.col("doc_id") % 5 != 0)
         batch = docs.where(F.col("doc_id") % 5 == 0)
         lsh_loc = os.path.join(d, "lsh")
@@ -274,7 +278,7 @@ def run_amortization(spark) -> dict:
             ),
         }
 
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(par)
         queries = emb.where(F.col("vec_id") < 5)
         ecorpus = emb.where(F.col("vec_id") >= 5)
         ivf_loc = os.path.join(d, "ivf")

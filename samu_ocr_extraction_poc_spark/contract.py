@@ -1467,7 +1467,7 @@ def length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LENGTH_QUANTILES_SQL = """
 WITH hv AS (SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
-hb AS (SELECT CAST(least(63, greatest(0, (v * 64) // 4096)) AS BIGINT) AS b,
+hb AS (SELECT CAST(least(63, (least(4096, greatest(0, v)) * 64) // 4096) AS BIGINT) AS b,
               CAST(count(*) AS BIGINT) AS cnt
        FROM hv GROUP BY 1),
 hcum AS (SELECT a.b, a.cnt, CAST(sum(c.cnt) AS BIGINT) AS cum

@@ -613,8 +613,6 @@ def remove_shared_windows(
     Returns one row per input document:
     (doc_id, n_tokens, n_removed, clean_text).
     """
-    from ..functions.textfns import token_count, token_md5_long
-
     n = token_count(F.col(text_col))
     # sequence(1, 0) DESCENDS (the epoch_upsample/_kgrams trap): docs
     # shorter than k tokens get an explicitly empty window array
@@ -744,8 +742,6 @@ def remove_shared_windows_screened(
     keys); the saving is CPU — char hashing down from n*k*chars_per_token
     to n*chars_per_token + bounded candidate re-hashing.
     """
-    from ..functions.textfns import token_count, token_md5_long
-
     n = token_count(F.col(text_col))
     screen_keys = let_bound(
         F.transform(tokens(F.col(text_col)), lambda t: token_md5_long(t) % _ROLL_M),

@@ -141,6 +141,7 @@ def bloom_probe(
     id_col: str = "doc_id",
     m_bits: int = 1 << 18,
     k: int = 3,
+    eager: bool = True,
 ) -> DataFrame:
     """Probe a :func:`bloom_build` filter: an element is a (probable)
     member iff ALL k of its bit positions are set. Validates the
@@ -161,8 +162,15 @@ def bloom_probe(
     means "probably in the corpus" (false positives possible at the
     standard Bloom rate, deterministic here; false negatives
     impossible).
+
+    ``eager=False`` (the dedup-ops plan-inspection convention) skips the
+    checkpoint — no checkpointed RDD is left behind per call, at the
+    price of the probe plan recomputing the build; long-lived callers
+    probing many batches should localCheckpoint the filter ONCE
+    themselves and pass eager=False here.
     """
-    bloom = bloom.localCheckpoint(eager=True)
+    if eager:
+        bloom = bloom.localCheckpoint(eager=True)
     meta = {
         r["word_idx"]: r["bits"]
         for r in bloom.where(F.col("word_idx") < 0).collect()
@@ -266,15 +274,24 @@ def cms_build(
     return cells.unionByName(meta)
 
 
-def cms_merge(a: DataFrame, b: DataFrame, width: int = 1 << 12, depth: int = 4) -> DataFrame:
+def cms_merge(
+    a: DataFrame,
+    b: DataFrame,
+    width: int = 1 << 12,
+    depth: int = 4,
+    eager: bool = True,
+) -> DataFrame:
     """Merge two :func:`cms_build` sketches: per-cell sum of the count
     rows (the CMS linearity property — the merged sketch is exactly the
     sketch of the concatenated inputs), after a meta handshake on BOTH
     inputs (2 rows each). Meta rows are carried once, not summed. Inputs
     are localCheckpoint-ed so the handshake collect and the merged plan
-    read one materialization each (the bloom_probe discipline)."""
-    a = a.localCheckpoint(eager=True)
-    b = b.localCheckpoint(eager=True)
+    read one materialization each (the bloom_probe discipline);
+    ``eager=False`` skips the checkpoints for plan inspection / callers
+    managing their own materialization."""
+    if eager:
+        a = a.localCheckpoint(eager=True)
+        b = b.localCheckpoint(eager=True)
     for side, frame in (("left", a), ("right", b)):
         meta = {r["d"]: r["cnt"] for r in frame.where(F.col("d") < 0).collect()}
         if meta.get(_CMS_META_W) != width or meta.get(_CMS_META_D) != depth:
@@ -298,6 +315,7 @@ def cms_query(
     key_col: str = "key",
     width: int = 1 << 12,
     depth: int = 4,
+    eager: bool = True,
 ) -> DataFrame:
     """Point-estimate keys against a :func:`cms_build` sketch: estimate =
     min over the depth rows of the key's cell counts (an absent cell is
@@ -309,8 +327,11 @@ def cms_query(
     materialization; the cell table is broadcastable at any corpus size
     (bounded by depth*width rows). Returns (key, est) — one row per
     DISTINCT probe key; est >= the key's true built count, with
-    deterministic md5-collision overestimates."""
-    cms = cms.localCheckpoint(eager=True)
+    deterministic md5-collision overestimates. ``eager=False`` skips the
+    checkpoint (plan inspection / caller-managed materialization — the
+    bloom_probe convention)."""
+    if eager:
+        cms = cms.localCheckpoint(eager=True)
     meta = {r["d"]: r["cnt"] for r in cms.where(F.col("d") < 0).collect()}
     if meta.get(_CMS_META_W) != width or meta.get(_CMS_META_D) != depth:
         raise ValueError(
@@ -362,10 +383,16 @@ def hist_build(
     last bin (documented, oracled identically — pick [lo, hi) to cover
     the mass you care about).
 
-    Bin index is pure integer arithmetic, b = ((v - lo) * n_bins) DIV
-    (hi - lo) clamped to [0, n_bins); nonnegative operands make Spark's
-    DIV and DuckDB's // the same floor division, so the sketch and every
-    quantile read off it replay bit-identically. Stored as (b, cnt) rows
+    Bin index is pure integer arithmetic: the VALUE is clamped into
+    [lo, hi] first, then b = least(n_bins - 1, ((v_cl - lo) * n_bins)
+    DIV (hi - lo)). Clamping before the multiply bounds the product by
+    span * n_bins — an unclamped extreme outlier (the corrupt-header
+    input class the media codecs guard against) would overflow BIGINT,
+    wrap negative in non-ANSI Spark (landing silently in bin 0 instead
+    of the documented top bin) and RAISE in DuckDB — and it keeps the
+    operands nonnegative, so Spark's DIV and DuckDB's // are the same
+    floor division and the sketch and every quantile read off it replay
+    bit-identically. Stored as (b, cnt) rows
     plus meta rows b=-1 (lo) / b=-2 (hi) / b=-3 (n_bins) — the
     separate-rows parameter handshake (a mismatched read refuses rather
     than interpolating against the wrong edges)."""
@@ -376,9 +403,10 @@ def hist_build(
         .select(
             F.least(
                 F.lit(n_bins - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.expr(f"((v__ - {lo}) * {n_bins}) DIV {span}"),
+                F.expr(
+                    f"((least(CAST({hi} AS BIGINT), "
+                    f"greatest(CAST({lo} AS BIGINT), v__)) - {lo})"
+                    f" * {n_bins}) DIV {span}"
                 ),
             )
             .cast("bigint")
@@ -394,11 +422,15 @@ def hist_build(
     return cells.unionByName(meta)
 
 
-def _hist_handshake(hist: DataFrame, lo: int, hi: int, n_bins: int, what: str) -> DataFrame:
+def _hist_handshake(
+    hist: DataFrame, lo: int, hi: int, n_bins: int, what: str, eager: bool = True
+) -> DataFrame:
     """localCheckpoint + meta validation; returns the materialized frame
     so the caller's plan reads the same materialization the handshake
-    collected (the bloom_probe/cms_query discipline)."""
-    hist = hist.localCheckpoint(eager=True)
+    collected (the bloom_probe/cms_query discipline, including its
+    eager=False opt-out)."""
+    if eager:
+        hist = hist.localCheckpoint(eager=True)
     meta = {r["b"]: r["cnt"] for r in hist.where(F.col("b") < 0).collect()}
     found = (meta.get(_HIST_META_LO), meta.get(_HIST_META_HI), meta.get(_HIST_META_N))
     if found != (lo, hi, n_bins):
@@ -411,14 +443,20 @@ def _hist_handshake(hist: DataFrame, lo: int, hi: int, n_bins: int, what: str) -
 
 
 def hist_merge(
-    a: DataFrame, b: DataFrame, lo: int = 0, hi: int = 1 << 20, n_bins: int = 256
+    a: DataFrame,
+    b: DataFrame,
+    lo: int = 0,
+    hi: int = 1 << 20,
+    n_bins: int = 256,
+    eager: bool = True,
 ) -> DataFrame:
     """Merge two :func:`hist_build` sketches: per-bin sum of the count
     rows (exactly the histogram of the concatenated inputs), after the
     meta handshake on BOTH inputs. Meta rows are carried once, not
-    summed."""
-    a = _hist_handshake(a, lo, hi, n_bins, "left merge input")
-    b = _hist_handshake(b, lo, hi, n_bins, "right merge input")
+    summed. ``eager=False`` skips the handshake checkpoints (the
+    bloom_probe convention)."""
+    a = _hist_handshake(a, lo, hi, n_bins, "left merge input", eager)
+    b = _hist_handshake(b, lo, hi, n_bins, "right merge input", eager)
     cells = (
         a.where(F.col("b") >= 0)
         .unionByName(b.where(F.col("b") >= 0))
@@ -434,6 +472,7 @@ def hist_quantiles(
     lo: int = 0,
     hi: int = 1 << 20,
     n_bins: int = 256,
+    eager: bool = True,
 ) -> DataFrame:
     """Quantile read-off over a :func:`hist_build` sketch, fully
     relational and fully integer — (p, rnk, est, bin_lo, bin_hi) per
@@ -453,8 +492,9 @@ def hist_quantiles(
     Every frame here is bounded by n_bins or len(percentiles) rows — the
     cumulative sum is a self-join over <= n_bins^2 pairs and the rest are
     broadcast-size cross joins, so nothing in the plan scales with corpus
-    size and no SinglePartition window appears."""
-    hist = _hist_handshake(hist, lo, hi, n_bins, "quantile read")
+    size and no SinglePartition window appears. ``eager=False`` skips
+    the handshake checkpoint (the bloom_probe convention)."""
+    hist = _hist_handshake(hist, lo, hi, n_bins, "quantile read", eager)
     spark = hist.sparkSession
     cells = hist.where(F.col("b") >= 0)
     total = cells.agg(F.sum("cnt").cast("bigint").alias("n_total"))

@@ -41,26 +41,9 @@ LO, HI = 4, 16
 ROUNDS = int(os.environ.get("SPARK_GRAFT_AB_ROUNDS", "2"))
 
 
-def _shuffle_job(spark, corpus_dir: str) -> int:
-    from pyspark.sql import functions as F
-
-    from samu_ocr_extraction_poc_spark.operators.dedup import minhash_signatures
-
-    docs = spark.read.parquet(corpus_dir)
-    text = docs.select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.filter(F.col("spans"), lambda s: s["text"].isNotNull()),
-                lambda s: s["text"],
-            ),
-        ).alias("text"),
-    )
-    sig = minhash_signatures(text)
-    hs = [f"h{i}" for i in range(8)]
-    sig.groupBy(*hs).count().count()
-    return docs.count()
+# The A/B measures THE bench shuffle job itself (not a copy): importing it
+# keeps this table synchronized with the job whose scaling number it explains.
+from bench import _dedup_shuffle_job as _shuffle_job  # noqa: E402
 
 
 def _jvm_ceiling_job(spark, _corpus_dir: str) -> int:

@@ -1572,6 +1572,22 @@ def test_hist_quantile_semantics(spark):
     empty = hist_build(vals.where(F.col("v") < 0), "v", lo=0, hi=100, n_bins=10)
     assert hist_quantiles(empty, [50], lo=0, hi=100, n_bins=10).count() == 0
 
+    # overflow guard: an extreme outlier (>= 2^63 / n_bins — the
+    # corrupt-input class) must clamp into the TOP bin, not wrap the
+    # (v - lo) * n_bins product negative and land silently in bin 0
+    huge = spark.createDataFrame([(2**62,), (-(2**62),), (50,)], "v bigint")
+    hh = hist_build(huge, "v", lo=0, hi=100, n_bins=10)
+    bins = {r["b"]: r["cnt"] for r in hh.where(F.col("b") >= 0).collect()}
+    assert bins == {9: 1, 0: 1, 5: 1}
+
+    # eager=False: same values, no checkpoint materialization in the plan
+    lazy = sorted(
+        map(tuple, hist_quantiles(h, [50], lo=0, hi=100, n_bins=10, eager=False).collect())
+    )
+    assert lazy == sorted(
+        map(tuple, hist_quantiles(h, [50], lo=0, hi=100, n_bins=10).collect())
+    )
+
 
 def test_normalize_url_semantics(spark):
     """URL canonicalization edge shapes: fragment drop, tracking-param
