@@ -3208,10 +3208,14 @@ FROM c
 # this round (never driver-checked by construction), (b') last round's new
 # entries (kept per the verdict), (c) the STALEST entries — last
 # driver-checked r02 — then (d) the r03-only block, oldest evidence first.
-# Three r03 entries (`dedup_components`, `simhash`, `bpe_token_counts`)
-# did not fit the 50-cap; each has same-family in-window coverage this
-# round (CC_SQL via the r04-green star variant, simhash_near_pairs,
-# bpe_encode_counts) and they are FIRST in line for the r6 rotation.
+# Six r03-green entries did not fit the 50-cap (`bpe_encode_counts`,
+# `winnow_fingerprints`, `blocklist_filter`, `dedup_components`,
+# `simhash`, `bpe_token_counts` — the first three displaced by the
+# round-5-new block, which takes priority: a new entry is NEVER-checked,
+# a displaced one is r03-green); each has same-family in-window coverage
+# (bpe_train_long, winnow_pairs'/shared_window_pairs' window family, the
+# r04-green star CC variant, simhash_near_pairs) and they are FIRST in
+# line for the r6 rotation.
 # Positions 51+ were all green in CORRECTNESS_r04 (every entry stays under
 # the local driver-faithful gate at sf0.001+sf0.01 regardless of position).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3227,6 +3231,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (b) new in round 5 (never driver-checked by construction)
     "media_features": media_features_q,
     "bpe_train_long": bpe_train_long_q,
+    "remove_shared_windows_screened": remove_shared_windows_screened_q,
+    "cms_word_counts": cms_word_counts_q,
+    "length_quantiles": length_quantiles_q,
     # --- (b') new in round 4, kept in-window per VERDICT r4 item 3
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
@@ -3267,11 +3274,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_surprise_bigram": lm_surprise2_q,
     "boilerplate_strip": boilerplate_strip_q,
     "dsir_weights": dsir_weights_q,
+    # ---------------------- position 51+ -------------------------------
+    # r6-rotation head: r03-green entries cut by the 50-cap — the three
+    # below were displaced by the round-5-new block (bpe_encode_counts'
+    # family is covered in-window by bpe_train_long) and join the three
+    # r03 entries cut last round
     "bpe_encode_counts": bpe_encode_q,
     "winnow_fingerprints": winnow_fps_q,
     "blocklist_filter": blocklist_filter_q,
-    # ------------- position 51+ (green in CORRECTNESS_r04) -------------
-    # r6-rotation head: the three r03 entries cut by the 50-cap
     "dedup_components": dedup_components,
     "simhash": simhash_q,
     "bpe_token_counts": bpe_token_counts,
@@ -3312,12 +3322,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs": winnow_pairs_q,
     "segment_dedup": segment_dedup_q,
     "dsir_select": dsir_select_q,
-    # new r5, position 51+: local-gate oracle evidence for the screen path
-    "remove_shared_windows_screened": remove_shared_windows_screened_q,
-    # new r5, position 51+: count-min frequency sketch (est/exact/guarantee)
-    "cms_word_counts": cms_word_counts_q,
-    # new r5, position 51+: histogram-sketch length quantiles
-    "length_quantiles": length_quantiles_q,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -160,7 +160,8 @@ DRIVER_WINDOW_50 = [
     "extract_email_text_check", "extract_transcript_text_check",
     "extract_html_text_check", "extract_pleading_medical_text_check",
     "html_strip",
-    "media_features", "bpe_train_long",
+    "media_features", "bpe_train_long", "remove_shared_windows_screened",
+    "cms_word_counts", "length_quantiles",
     "remove_shared_windows", "extract_order_check", "gopher_rules",
     "c4_rules", "url_dedup", "bloom_probe",
     "events_hourly", "user_sessions",
@@ -173,8 +174,7 @@ DRIVER_WINDOW_50 = [
     "pack_assignments", "chunk_documents", "stratified_sample",
     "sample_documents", "quality_filter", "budget_sample", "pii_redact",
     "lm_surprise", "lm_surprise_bigram", "boilerplate_strip",
-    "dsir_weights", "bpe_encode_counts", "winnow_fingerprints",
-    "blocklist_filter",
+    "dsir_weights",
 ]
 
 
