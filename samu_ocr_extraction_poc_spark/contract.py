@@ -1492,6 +1492,114 @@ FROM hsel
 """
 
 
+def source_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE length quantiles off the grouped histogram sketch
+    (operators/sketch.py:grouped_quantiles — hist_build/hist_quantiles
+    fused with a group key): the per-stratum calibration every
+    domain-level gate (source_filter, gopher length bounds) actually
+    wants. One partial-aggregable (source, bin) groupBy touches the
+    corpus; everything after is bounded by #sources * 64 rows — no
+    window, no per-group sort (a per-source ORDER BY would put a whole
+    domain into one window partition at 10^12 docs). Integer
+    clamp-first bin arithmetic + floor interpolation: DuckDB replays
+    every value exactly."""
+    from .operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    return SK.grouped_quantiles(
+        docs, "source", "n_chars", [25, 50, 75, 95], lo=0, hi=1024, n_bins=64
+    )
+
+
+SOURCE_LENGTH_QUANTILES_SQL = """
+WITH gv AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+            WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+gb AS (SELECT g, CAST(least(63, (least(1024, greatest(0, v)) * 64) // 1024) AS BIGINT) AS b,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM gv GROUP BY 1, 2),
+gcum AS (SELECT a.g, a.b, a.cnt, CAST(sum(c.cnt) AS BIGINT) AS cum
+         FROM gb a JOIN gb c ON c.g = a.g AND c.b <= a.b GROUP BY a.g, a.b, a.cnt),
+gt AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_total FROM gb GROUP BY g),
+gp AS (SELECT unnest([25, 50, 75, 95]) AS p),
+gr AS (SELECT gt.g, CAST(p AS BIGINT) AS p,
+              CAST(greatest(1, (n_total * p + 99) // 100) AS BIGINT) AS rnk
+       FROM gp CROSS JOIN gt),
+ghit AS (SELECT gr.g, gr.p, gr.rnk, min(gcum.b) AS b
+         FROM gr JOIN gcum ON gcum.g = gr.g AND gcum.cum >= gr.rnk
+         GROUP BY gr.g, gr.p, gr.rnk),
+gsel AS (SELECT ghit.g, ghit.p, ghit.rnk, ghit.b, gcum.cnt, gcum.cum
+         FROM ghit JOIN gcum ON gcum.g = ghit.g AND gcum.b = ghit.b)
+SELECT g AS source, p, rnk,
+       CAST((b * 1024) // 64
+            + ((rnk - (cum - cnt) - 1) * (((b + 1) * 1024) // 64 - (b * 1024) // 64)) // cnt
+            AS BIGINT) AS est,
+       CAST((b * 1024) // 64 AS BIGINT) AS bin_lo,
+       CAST(((b + 1) * 1024) // 64 AS BIGINT) AS bin_hi
+FROM gsel
+"""
+
+
+def ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets per language
+    (operators/corpus.py:ccnet_bucket; Wenzek et al. 2020 §3): unigram
+    surprisal scores (the lm_surprise signal, FP-parity-proven) are
+    projected to the integer proxy round(surprise*10000), per-language
+    tertile cutoffs come from the grouped histogram sketch's pure
+    integer read-off, and every comparison that decides a label runs on
+    integers — so the labels replay bit-identically on DuckDB. Never a
+    per-language ntile window (one window partition per language =
+    stratum-sized partitions at scale)."""
+    from .operators import corpus as CP
+
+    return CP.ccnet_bucket(_t(spark, sf_dir, "documents"))
+
+
+CCNET_BUCKETS_SQL = """
+WITH ut AS (SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+            FROM documents),
+ulm AS (SELECT tok, count(*) AS cnt FROM ut GROUP BY tok),
+utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ulm),
+sc AS (SELECT ut.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+              round(avg(-ln(ulm.cnt / utot.total)), 4) AS surprise
+       FROM ut JOIN ulm USING (tok) CROSS JOIN utot
+       GROUP BY ut.doc_id),
+su AS (SELECT sc.doc_id, d.lang, sc.n_tok, sc.surprise,
+              CAST(round(sc.surprise * 10000) AS BIGINT) AS su_i
+       FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+gb AS (SELECT lang AS g,
+              CAST(least(511, (least(524288, greatest(0, su_i)) * 512) // 524288) AS BIGINT) AS b,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM su WHERE su_i IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+gcum AS (SELECT a.g, a.b, a.cnt, CAST(sum(c.cnt) AS BIGINT) AS cum
+         FROM gb a JOIN gb c ON c.g = a.g AND c.b <= a.b GROUP BY a.g, a.b, a.cnt),
+gt AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_total FROM gb GROUP BY g),
+gp AS (SELECT unnest([33, 66]) AS p),
+gr AS (SELECT gt.g, CAST(p AS BIGINT) AS p,
+              CAST(greatest(1, (n_total * p + 99) // 100) AS BIGINT) AS rnk
+       FROM gp CROSS JOIN gt),
+ghit AS (SELECT gr.g, gr.p, gr.rnk, min(gcum.b) AS b
+         FROM gr JOIN gcum ON gcum.g = gr.g AND gcum.cum >= gr.rnk
+         GROUP BY gr.g, gr.p, gr.rnk),
+gsel AS (SELECT ghit.g, ghit.p, ghit.rnk, ghit.b, gcum.cnt, gcum.cum
+         FROM ghit JOIN gcum ON gcum.g = ghit.g AND gcum.b = ghit.b),
+gest AS (SELECT g, p,
+                CAST((b * 524288) // 512
+                     + ((rnk - (cum - cnt) - 1) * (((b + 1) * 524288) // 512 - (b * 524288) // 512)) // cnt
+                     AS BIGINT) AS est
+         FROM gsel),
+cuts AS (SELECT g AS lang,
+                max(CASE WHEN p = 33 THEN est END) AS c33,
+                max(CASE WHEN p = 66 THEN est END) AS c66
+         FROM gest GROUP BY g)
+SELECT su.doc_id, su.lang, su.n_tok, su.surprise, su.su_i,
+       CASE WHEN su.su_i <= cuts.c33 THEN 'head'
+            WHEN su.su_i <= cuts.c66 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM su JOIN cuts ON cuts.lang = su.lang
+"""
+
+
 def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode under the driver gate (sources/media.py:
     decode_media, default = real codecs since r5; reference analog: S5
@@ -3234,6 +3342,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_shared_windows_screened": remove_shared_windows_screened_q,
     "cms_word_counts": cms_word_counts_q,
     "length_quantiles": length_quantiles_q,
+    "source_length_quantiles": source_length_quantiles_q,
+    "ccnet_buckets": ccnet_buckets_q,
     # --- (b') new in round 4, kept in-window per VERDICT r4 item 3
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
@@ -3272,13 +3382,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": pii_redact_q,
     "lm_surprise": lm_surprise_q,
     "lm_surprise_bigram": lm_surprise2_q,
+    # ---------------------- position 51+ -------------------------------
+    # r6-rotation head: r03-green entries cut by the 50-cap — displaced
+    # by the round-5-new block, which takes priority (a new entry is
+    # NEVER-checked; a displaced one is r03-green with same-family
+    # in-window coverage: CCNet segment family via segment_dedup's r04
+    # pass + ccnet_buckets, DSIR via dsir_select r04, BPE via
+    # bpe_train_long)
     "boilerplate_strip": boilerplate_strip_q,
     "dsir_weights": dsir_weights_q,
-    # ---------------------- position 51+ -------------------------------
-    # r6-rotation head: r03-green entries cut by the 50-cap — the three
-    # below were displaced by the round-5-new block (bpe_encode_counts'
-    # family is covered in-window by bpe_train_long) and join the three
-    # r03 entries cut last round
     "bpe_encode_counts": bpe_encode_q,
     "winnow_fingerprints": winnow_fps_q,
     "blocklist_filter": blocklist_filter_q,
@@ -3375,6 +3487,8 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_probe": BLOOM_SQL,
     "cms_word_counts": CMS_SQL,
     "length_quantiles": LENGTH_QUANTILES_SQL,
+    "source_length_quantiles": SOURCE_LENGTH_QUANTILES_SQL,
+    "ccnet_buckets": CCNET_BUCKETS_SQL,
     "dsir_weights": DSIR_SQL,
     "dsir_select": DSIR_SELECT_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,

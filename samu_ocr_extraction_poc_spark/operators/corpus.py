@@ -741,6 +741,73 @@ def unigram_surprise(
     return scored
 
 
+def ccnet_bucket(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    lo: int = 0,
+    hi: int = 1 << 19,
+    n_bins: int = 512,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020
+    §3, "each language is split in head/middle/tail by perplexity
+    tertiles"): score every document with the self-trained unigram LM
+    (:func:`unigram_surprise` — the lm_surprise signal), derive each
+    language's tertile cutoffs, and label documents head (lowest
+    surprisal — the cleanest third CCNet keeps first) / middle / tail.
+
+    Determinism contract: bucket comparisons run on an INTEGER surprisal
+    proxy su_i = CAST(round(surprise * 10000) AS BIGINT). ``surprise``
+    is already round(_, 4), so surprise * 10000 sits within ~1e-10 of an
+    exact integer in both engines and round() lands on the same BIGINT;
+    cutoffs come from :func:`operators.sketch.grouped_quantiles`' pure
+    integer read-off. No raw float ever crosses a comparison boundary,
+    so the labels replay bit-identically on DuckDB.
+
+    Scale path: tertile cutoffs via the GROUPED histogram sketch — never
+    a per-language ntile/percent_rank window, which would put an entire
+    10^12-doc language stratum into one window partition. The cutoff
+    table is #langs x 2 (broadcast); the label pass is one narrow
+    projection over the scored frame. Documents too short to score
+    (no tokens) inherit unigram_surprise's no-row contract.
+
+    Returns (doc_id, lang, n_tok, surprise, su_i, bucket).
+    """
+    from .sketch import grouped_quantiles  # sketch imports corpus._kgrams
+
+    scored = unigram_surprise(df, text_col, id_col)
+    langs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    )
+    su = scored.join(langs, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "surprise",
+        F.round(F.col("surprise") * 10000).cast("bigint").alias("su_i"),
+    )
+    cuts = (
+        grouped_quantiles(su, "lang", "su_i", [33, 66], lo=lo, hi=hi, n_bins=n_bins)
+        .groupBy("lang")
+        .agg(
+            F.max(F.when(F.col("p") == 33, F.col("est"))).alias("c33"),
+            F.max(F.when(F.col("p") == 66, F.col("est"))).alias("c66"),
+        )
+    )
+    return su.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "surprise",
+        "su_i",
+        F.when(F.col("su_i") <= F.col("c33"), F.lit("head"))
+        .when(F.col("su_i") <= F.col("c66"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def budget_sample(
     df: DataFrame,
     budgets: dict[str, int],

@@ -540,6 +540,124 @@ def hist_quantiles(
     )
 
 
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: list[int],
+    lo: int = 0,
+    hi: int = 1 << 20,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-GROUP histogram quantiles — :func:`hist_build` +
+    :func:`hist_quantiles` fused into one call with a group key
+    (per-domain / per-language threshold calibration: every corpus gate
+    that takes one global cutoff really wants one per stratum). Same
+    clamp-first integer bin arithmetic and floor-interpolation read-off,
+    so DuckDB replays every value exactly.
+
+    Plan shape at scale: ONE partial-aggregable groupBy over
+    (group, bin) is the only pass that touches the corpus; every later
+    frame is bounded by #groups * n_bins rows — the per-group cumulative
+    is an equi-join on the group key over <= n_bins^2 bin pairs per
+    group, rank targets are a #groups x len(percentiles) cross join, the
+    carrying bin a min-struct agg. NO window anywhere: a per-group
+    ORDER BY (ntile / percent_rank) would put an entire 10^9-doc stratum
+    into one window partition — the giant-partition trap the no-window
+    discipline exists for.
+
+    Returns (``group_col``, p, rnk, est, bin_lo, bin_hi) per group x
+    requested integer percentile; groups whose values are all NULL
+    produce no rows (out-of-range values clamp into the edge bins, the
+    hist_build contract).
+    """
+    span = hi - lo
+    cells = (
+        df.select(
+            F.col(group_col).alias("g__"),
+            F.col(value_col).cast("bigint").alias("v__"),
+        )
+        .where(F.col("v__").isNotNull() & F.col("g__").isNotNull())
+        .select(
+            "g__",
+            F.least(
+                F.lit(n_bins - 1),
+                F.expr(
+                    f"((least(CAST({hi} AS BIGINT), "
+                    f"greatest(CAST({lo} AS BIGINT), v__)) - {lo})"
+                    f" * {n_bins}) DIV {span}"
+                ),
+            )
+            .cast("bigint")
+            .alias("b"),
+        )
+        .groupBy("g__", "b")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    total = cells.groupBy("g__").agg(
+        F.sum("cnt").cast("bigint").alias("n_total")
+    )
+    cum = (
+        cells.alias("a")
+        .join(
+            cells.select(
+                F.col("g__").alias("cg__"),
+                F.col("b").alias("cb"),
+                F.col("cnt").alias("ccnt"),
+            ),
+            (F.col("a.g__") == F.col("cg__")) & (F.col("cb") <= F.col("a.b")),
+        )
+        .groupBy("a.g__", "a.b", "a.cnt")
+        .agg(F.sum("ccnt").cast("bigint").alias("cum"))
+    )
+    percs = df.sparkSession.createDataFrame(
+        [(int(p),) for p in percentiles], "p bigint"
+    )
+    ranked = total.crossJoin(F.broadcast(percs)).select(
+        "g__",
+        "p",
+        F.greatest(F.lit(1), F.expr("(n_total * p + 99) DIV 100"))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    hit = (
+        ranked.join(cum, "g__")
+        .where(F.col("cum") >= F.col("rnk"))
+        .groupBy("g__", "p", "rnk")
+        .agg(F.min(F.struct("b", "cnt", "cum")).alias("h"))
+    )
+    return (
+        hit.select(
+            "g__",
+            "p",
+            "rnk",
+            "h",
+            F.expr(f"{lo} + (h.b * {span}) DIV {n_bins}")
+            .cast("bigint")
+            .alias("bin_lo"),
+            F.expr(f"{lo} + ((h.b + 1) * {span}) DIV {n_bins}")
+            .cast("bigint")
+            .alias("bin_hi"),
+        )
+        .select(
+            "g__",
+            "p",
+            "rnk",
+            (
+                F.col("bin_lo")
+                + F.expr(
+                    "((rnk - (h.cum - h.cnt) - 1) * (bin_hi - bin_lo)) DIV h.cnt"
+                )
+            )
+            .cast("bigint")
+            .alias("est"),
+            "bin_lo",
+            "bin_hi",
+        )
+        .withColumnRenamed("g__", group_col)
+    )
+
+
 def kmv_distinct_tokens(
     df: DataFrame,
     k: int = 64,

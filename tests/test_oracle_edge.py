@@ -42,6 +42,10 @@ DOC_QUERIES = [
     "incremental_dedup", "epoch_upsample", "top_ngrams", "sample_exact_n",
     "remove_shared_windows", "gopher_rules", "c4_rules", "url_dedup",
     "bloom_probe",
+    # round-5 additions (media_features synthesizes its own table; the
+    # rest are documents-based and must hold on the pathological corpus)
+    "remove_shared_windows_screened", "bpe_train_long", "cms_word_counts",
+    "length_quantiles", "source_length_quantiles", "ccnet_buckets",
 ]
 
 

@@ -161,7 +161,8 @@ DRIVER_WINDOW_50 = [
     "extract_html_text_check", "extract_pleading_medical_text_check",
     "html_strip",
     "media_features", "bpe_train_long", "remove_shared_windows_screened",
-    "cms_word_counts", "length_quantiles",
+    "cms_word_counts", "length_quantiles", "source_length_quantiles",
+    "ccnet_buckets",
     "remove_shared_windows", "extract_order_check", "gopher_rules",
     "c4_rules", "url_dedup", "bloom_probe",
     "events_hourly", "user_sessions",
@@ -173,8 +174,7 @@ DRIVER_WINDOW_50 = [
     "contamination_check", "repetition_stats", "pack_token_windows",
     "pack_assignments", "chunk_documents", "stratified_sample",
     "sample_documents", "quality_filter", "budget_sample", "pii_redact",
-    "lm_surprise", "lm_surprise_bigram", "boilerplate_strip",
-    "dsir_weights",
+    "lm_surprise", "lm_surprise_bigram",
 ]
 
 

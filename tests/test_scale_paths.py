@@ -1589,6 +1589,77 @@ def test_hist_quantile_semantics(spark):
     )
 
 
+def test_grouped_quantiles_semantics(spark):
+    """Per-group histogram quantiles: hand-computed edges/estimates per
+    group, NULL-only groups absent, and the plan promise — no Window
+    operator (a per-group ORDER BY would make stratum-sized window
+    partitions at scale)."""
+    from samu_ocr_extraction_poc_spark.operators.sketch import grouped_quantiles
+
+    rows = (
+        [("a", v) for v in (5, 10, 15, 20, 100)]
+        + [("b", v) for v in (50, 50, 50)]
+        + [("c", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = {
+        (r["g"], r["p"]): (r["rnk"], r["est"], r["bin_lo"], r["bin_hi"])
+        for r in grouped_quantiles(df, "g", "v", [50, 100], lo=0, hi=100, n_bins=10).collect()
+    }
+    # group a matches the ungrouped hist_quantiles hand computation
+    assert out[("a", 50)] == (3, 15, 10, 20)
+    assert out[("a", 100)] == (5, 90, 90, 100)
+    # group b: all three values in bin 5; rnk 2 -> 50 + (2-0-1)*10 DIV 3
+    assert out[("b", 50)] == (2, 53, 50, 60)
+    assert out[("b", 100)] == (3, 56, 50, 60)
+    # NULL-only group produces no rows
+    assert not any(g == "c" for (g, _p) in out)
+
+    plan = grouped_quantiles(
+        df, "g", "v", [50], lo=0, hi=100, n_bins=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_ccnet_bucket_semantics(spark):
+    """CCNet per-language perplexity buckets: labels are a pure
+    threshold rule on the integer surprisal proxy, so within each
+    language every head doc scores <= every middle doc <= every tail
+    doc; a language with spread fills all three buckets; too-short docs
+    produce no row (the unigram_surprise contract)."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import ccnet_bucket
+
+    # en: common words (low surprisal) through rare words (high);
+    # fr: a second language with its own spread; one empty doc
+    rows = [
+        (1, "the the the the the the", "en"),
+        (2, "the the the and and and", "en"),
+        (3, "the and is of in to a", "en"),
+        (4, "quixotic zephyr brouhaha", "en"),
+        (5, "perambulate sesquipedalian", "en"),
+        (6, "obfuscation recalcitrant", "en"),
+        (7, "le le le le", "fr"),
+        (8, "le la et un", "fr"),
+        (9, "anticonstitutionnellement", "fr"),
+        (10, "", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_bucket(df).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["bucket"], []).append(r["su_i"])
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, buckets in by_lang.items():
+        seq = sorted(buckets.items(), key=lambda kv: order[kv[0]])
+        for (b1, v1), (b2, v2) in zip(seq, seq[1:]):
+            assert max(v1) <= min(v2), (lang, b1, b2)
+    assert set(by_lang["en"].keys()) == {"head", "middle", "tail"}
+    # the empty doc: DuckDB's split('') == [''] quirk gives it one ''
+    # pseudo-token (the pinned page round-trip semantics), so it IS
+    # scored — total rows = all 10 docs
+    assert len(out) == 10
+
+
 def test_normalize_url_semantics(spark):
     """URL canonicalization edge shapes: fragment drop, tracking-param
     strip (order of survivors preserved), www collapse, trailing-slash
