@@ -1167,6 +1167,224 @@ FROM f
 """
 
 
+def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal table (operators/corpus.py:
+    gopher_repetition; Rae et al. 2021 App. A1) over a deterministically
+    re-paged corpus: the driver's documents are single-line word streams
+    with no duplicate structure, so the entry rebuilds page shape the
+    rules can bite on — every 5th doc (with >= 12 tokens) gets its first
+    12 tokens appended again (duplicated 5..10-grams, the
+    remove_shared_windows injection precedent), tokens re-lined 8 per
+    line, every 6th doc's first line appended again (duplicate line),
+    lines grouped 3 per paragraph, every 9th doc's first paragraph
+    appended again (duplicate paragraph). The oracle replays the
+    construction and all 13 integer-arithmetic rules exactly — no FP
+    anywhere."""
+    doc_id = F.col("doc_id")
+
+    def build(w: Column) -> Column:
+        ext_expr = F.when(
+            (doc_id % 5 == 0) & (F.size(w) >= 12), F.concat(w, F.slice(w, 1, 12))
+        ).otherwise(w)
+
+        def with_ext(ext: Column) -> Column:
+            n = F.size(ext)
+            nl = F.ceil(n / F.lit(8.0)).cast("int")
+            lines_expr = F.when(
+                n > 0,
+                F.transform(
+                    F.sequence(F.lit(1), nl),
+                    lambda i: F.array_join(F.slice(ext, (i - 1) * 8 + 1, 8), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+            def with_lines(lines: Column) -> Column:
+                l2_expr = F.when(
+                    (doc_id % 6 == 0) & (F.size(lines) >= 1),
+                    F.concat(lines, F.array(F.element_at(lines, 1))),
+                ).otherwise(lines)
+
+                def with_l2(l2: Column) -> Column:
+                    m = F.size(l2)
+                    np_ = F.ceil(m / F.lit(3.0)).cast("int")
+                    paras_expr = F.when(
+                        m > 0,
+                        F.transform(
+                            F.sequence(F.lit(1), np_),
+                            lambda j: F.array_join(
+                                F.slice(l2, (j - 1) * 3 + 1, 3), "\n"
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+
+                    def with_paras(paras: Column) -> Column:
+                        p2 = F.when(
+                            (doc_id % 9 == 0) & (F.size(paras) >= 1),
+                            F.concat(paras, F.array(F.element_at(paras, 1))),
+                        ).otherwise(paras)
+                        return TX.let_bound(p2, lambda q: F.array_join(q, "\n\n"))
+
+                    return TX.let_bound(paras_expr, with_paras)
+
+                return TX.let_bound(l2_expr, with_l2)
+
+            return TX.let_bound(lines_expr, with_lines)
+
+        return TX.let_bound(ext_expr, with_ext)
+
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    page = TX.let_bound(
+        F.filter(TX.tokens(F.col("text")), lambda t: t != F.lit("")), build
+    )
+    return CP.gopher_repetition(docs.select("doc_id", page.alias("text")))
+
+
+GOPHER_REP_SQL = """
+WITH src AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t <> '') AS w
+  FROM documents),
+e AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 AND len(w) >= 12 THEN w || w[1:12] ELSE w END AS ext
+  FROM src),
+l0 AS (
+  SELECT doc_id,
+         CASE WHEN len(ext) > 0 THEN
+           list_transform(range(1, CAST(ceil(len(ext) / 8.0) AS INT) + 1),
+                          i -> array_to_string(ext[(i-1)*8+1:(i-1)*8+8], ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS lines
+  FROM e),
+l1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 AND len(lines) >= 1
+              THEN lines || [lines[1]] ELSE lines END AS lines
+  FROM l0),
+p0 AS (
+  SELECT doc_id,
+         CASE WHEN len(lines) > 0 THEN
+           list_transform(range(1, CAST(ceil(len(lines) / 3.0) AS INT) + 1),
+                          j -> array_to_string(lines[(j-1)*3+1:(j-1)*3+3], chr(10)))
+         ELSE CAST([] AS VARCHAR[]) END AS paras
+  FROM l1),
+p1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 AND len(paras) >= 1
+              THEN paras || [paras[1]] ELSE paras END AS paras
+  FROM p0),
+pg AS (SELECT doc_id,
+           -- DuckDB array_to_string([]) is NULL; Spark array_join gives ''
+           coalesce(array_to_string(paras, chr(10) || chr(10)), '') AS page
+    FROM p1),
+lp AS (
+  SELECT doc_id,
+         list_filter(string_split(page, chr(10)), x -> x <> '') AS l,
+         list_filter(string_split(page, chr(10) || chr(10)), x -> x <> '') AS p,
+         list_filter(string_split(trim(replace(page, chr(10), ' ')), ' '),
+                     t -> t <> '') AS w
+  FROM pg),
+ds AS (
+  SELECT doc_id, w,
+         len(l) AS n_lines,
+         len(l) - len(list_distinct(l)) AS dup_lines,
+         coalesce(list_aggregate(list_transform(l, x -> length(x)), 'sum'), 0)
+           - coalesce(list_aggregate(list_transform(list_distinct(l), x -> length(x)), 'sum'), 0)
+           AS dup_line_chars,
+         coalesce(list_aggregate(list_transform(l, x -> length(x)), 'sum'), 0) AS line_chars,
+         len(p) AS n_paras,
+         len(p) - len(list_distinct(p)) AS dup_paras,
+         coalesce(list_aggregate(list_transform(p, x -> length(x)), 'sum'), 0)
+           - coalesce(list_aggregate(list_transform(list_distinct(p), x -> length(x)), 'sum'), 0)
+           AS dup_para_chars,
+         coalesce(list_aggregate(list_transform(p, x -> length(x)), 'sum'), 0) AS para_chars,
+         coalesce(list_aggregate(list_transform(w, t -> length(t)), 'sum'), 0) AS total_chars
+  FROM lp),
+ks AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS k),
+gr AS (
+  SELECT doc_id, k, i, array_to_string(w[i:i+k-1], ' ') AS gram
+  FROM (SELECT doc_id, k, w,
+               unnest(range(1, greatest(len(w) - k + 1, 0) + 1)) AS i
+        FROM lp, ks)),
+cnts AS (SELECT doc_id, k, gram, count(*) AS cnt FROM gr GROUP BY doc_id, k, gram),
+tp AS (
+  SELECT doc_id, k, cnt * (length(gram) - (k - 1)) AS chars
+  FROM cnts WHERE k <= 4
+  QUALIFY row_number() OVER (PARTITION BY doc_id, k ORDER BY cnt DESC, gram) = 1),
+topp AS (
+  SELECT doc_id,
+         max(CASE WHEN k = 2 THEN chars END) AS top2_chars,
+         max(CASE WHEN k = 3 THEN chars END) AS top3_chars,
+         max(CASE WHEN k = 4 THEN chars END) AS top4_chars
+  FROM tp GROUP BY doc_id),
+occ AS (
+  SELECT g.doc_id, g.k, g.i
+  FROM gr g JOIN cnts c ON g.doc_id = c.doc_id AND g.k = c.k AND g.gram = c.gram
+  WHERE c.k >= 5 AND c.cnt >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, k, i + u AS idx
+  FROM (SELECT doc_id, k, i, unnest(range(0, k)) AS u FROM occ)),
+covc AS (
+  SELECT c.doc_id, c.k, sum(length(t.w[c.idx])) AS chars
+  FROM cov c JOIN lp t ON t.doc_id = c.doc_id
+  GROUP BY c.doc_id, c.k),
+covp AS (
+  SELECT doc_id,
+         max(CASE WHEN k = 5 THEN chars END) AS dup5_chars,
+         max(CASE WHEN k = 6 THEN chars END) AS dup6_chars,
+         max(CASE WHEN k = 7 THEN chars END) AS dup7_chars,
+         max(CASE WHEN k = 8 THEN chars END) AS dup8_chars,
+         max(CASE WHEN k = 9 THEN chars END) AS dup9_chars,
+         max(CASE WHEN k = 10 THEN chars END) AS dup10_chars
+  FROM covc GROUP BY doc_id),
+fin AS (
+  SELECT d.doc_id,
+         CAST(n_lines AS BIGINT) AS n_lines,
+         CAST(dup_lines AS BIGINT) AS dup_lines,
+         CAST(dup_line_chars AS BIGINT) AS dup_line_chars,
+         CAST(line_chars AS BIGINT) AS line_chars,
+         CAST(n_paras AS BIGINT) AS n_paras,
+         CAST(dup_paras AS BIGINT) AS dup_paras,
+         CAST(dup_para_chars AS BIGINT) AS dup_para_chars,
+         CAST(para_chars AS BIGINT) AS para_chars,
+         CAST(total_chars AS BIGINT) AS total_chars,
+         CAST(coalesce(top2_chars, 0) AS BIGINT) AS top2_chars,
+         CAST(coalesce(top3_chars, 0) AS BIGINT) AS top3_chars,
+         CAST(coalesce(top4_chars, 0) AS BIGINT) AS top4_chars,
+         CAST(coalesce(dup5_chars, 0) AS BIGINT) AS dup5_chars,
+         CAST(coalesce(dup6_chars, 0) AS BIGINT) AS dup6_chars,
+         CAST(coalesce(dup7_chars, 0) AS BIGINT) AS dup7_chars,
+         CAST(coalesce(dup8_chars, 0) AS BIGINT) AS dup8_chars,
+         CAST(coalesce(dup9_chars, 0) AS BIGINT) AS dup9_chars,
+         CAST(coalesce(dup10_chars, 0) AS BIGINT) AS dup10_chars
+  FROM ds d
+  LEFT JOIN topp USING (doc_id)
+  LEFT JOIN covp USING (doc_id)),
+fl AS (
+  SELECT *,
+         CAST(CASE WHEN 10 * dup_lines <= 3 * n_lines THEN 1 ELSE 0 END AS INT) AS is_dup_line_ok,
+         CAST(CASE WHEN 5 * dup_line_chars <= line_chars THEN 1 ELSE 0 END AS INT) AS is_dup_line_char_ok,
+         CAST(CASE WHEN 10 * dup_paras <= 3 * n_paras THEN 1 ELSE 0 END AS INT) AS is_dup_para_ok,
+         CAST(CASE WHEN 5 * dup_para_chars <= para_chars THEN 1 ELSE 0 END AS INT) AS is_dup_para_char_ok,
+         CAST(CASE WHEN 5 * top2_chars <= total_chars THEN 1 ELSE 0 END AS INT) AS is_top2_ok,
+         CAST(CASE WHEN 50 * top3_chars <= 9 * total_chars THEN 1 ELSE 0 END AS INT) AS is_top3_ok,
+         CAST(CASE WHEN 25 * top4_chars <= 4 * total_chars THEN 1 ELSE 0 END AS INT) AS is_top4_ok,
+         CAST(CASE WHEN 20 * dup5_chars <= 3 * total_chars THEN 1 ELSE 0 END AS INT) AS is_dup5_ok,
+         CAST(CASE WHEN 50 * dup6_chars <= 7 * total_chars THEN 1 ELSE 0 END AS INT) AS is_dup6_ok,
+         CAST(CASE WHEN 100 * dup7_chars <= 13 * total_chars THEN 1 ELSE 0 END AS INT) AS is_dup7_ok,
+         CAST(CASE WHEN 25 * dup8_chars <= 3 * total_chars THEN 1 ELSE 0 END AS INT) AS is_dup8_ok,
+         CAST(CASE WHEN 100 * dup9_chars <= 11 * total_chars THEN 1 ELSE 0 END AS INT) AS is_dup9_ok,
+         CAST(CASE WHEN 10 * dup10_chars <= total_chars THEN 1 ELSE 0 END AS INT) AS is_dup10_ok
+  FROM fin)
+SELECT *,
+       CAST(is_dup_line_ok * is_dup_line_char_ok * is_dup_para_ok
+            * is_dup_para_char_ok * is_top2_ok * is_top3_ok * is_top4_ok
+            * is_dup5_ok * is_dup6_ok * is_dup7_ok * is_dup8_ok
+            * is_dup9_ok * is_dup10_ok AS INT) AS keep
+FROM fl
+"""
+
+
 def c4_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning heuristics (operators/corpus.py:c4_rules; Raffel et al.
     2020 §2.2) over a deterministically re-lined corpus: the driver's
@@ -2404,6 +2622,36 @@ FROM c
 """
 
 
+def shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (operators/corpus.py:
+    global_shuffle): exact 1-based position of every document in the
+    md5-permuted corpus order plus the sequential-shard assignment —
+    distributed two-phase rank (range buckets on the key's top 16 bits +
+    collected prefix-sum offsets + a PARTITIONED within-bucket window),
+    never a global ORDER BY row_number. The oracle IS that global window
+    (DuckDB sorts locally), so the gate proves the two-phase rank equals
+    the serial rank bit-for-bit."""
+    from .operators import corpus as CP
+
+    return CP.global_shuffle(
+        _t(spark, sf_dir, "documents"), n_buckets=64, docs_per_shard=100
+    )
+
+
+SHUFFLE_ORDER_SQL = """
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT doc_id,
+       CAST(rn AS BIGINT) AS shuffle_pos,
+       CAST((rn - 1) // 100 AS BIGINT) AS shard,
+       CAST((rn - 1) % 100 + 1 AS BIGINT) AS pos_in_shard
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -3344,6 +3592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_quantiles": length_quantiles_q,
     "source_length_quantiles": source_length_quantiles_q,
     "ccnet_buckets": ccnet_buckets_q,
+    "gopher_repetition": gopher_repetition_q,
     # --- (b') new in round 4, kept in-window per VERDICT r4 item 3
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
@@ -3372,8 +3621,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shared_window_pairs": shared_window_pairs_q,
     "contamination_check": contamination_check_q,
     "repetition_stats": repetition_stats_q,
-    "pack_token_windows": pack_token_windows_q,
     "pack_assignments": pack_assignments_q,
+    "shuffle_order": shuffle_order_q,
     "chunk_documents": chunk_documents_q,
     "stratified_sample": stratified_sample_q,
     "sample_documents": sample_documents_q,
@@ -3381,14 +3630,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "budget_sample": budget_sample_q,
     "pii_redact": pii_redact_q,
     "lm_surprise": lm_surprise_q,
-    "lm_surprise_bigram": lm_surprise2_q,
     # ---------------------- position 51+ -------------------------------
-    # r6-rotation head: r03-green entries cut by the 50-cap — displaced
-    # by the round-5-new block, which takes priority (a new entry is
-    # NEVER-checked; a displaced one is r03-green with same-family
-    # in-window coverage: CCNet segment family via segment_dedup's r04
-    # pass + ccnet_buckets, DSIR via dsir_select r04, BPE via
-    # bpe_train_long)
+    # r6-rotation head: entries cut by the 50-cap — displaced by the
+    # round-5-new block, which takes priority (a new entry is
+    # NEVER-checked; a displaced one is r03/r04-green with same-family
+    # in-window coverage: lm_surprise_bigram r04-green with lm_surprise
+    # staying in-window; pack_token_windows r03-green, its family
+    # covered by pack_assignments staying in-window (shuffle_order is
+    # never-checked and displaces it); CCNet segment family via
+    # segment_dedup's r04 pass + ccnet_buckets, DSIR via dsir_select
+    # r04, BPE via bpe_train_long)
+    "pack_token_windows": pack_token_windows_q,
+    "lm_surprise_bigram": lm_surprise2_q,
     "boilerplate_strip": boilerplate_strip_q,
     "dsir_weights": dsir_weights_q,
     "bpe_encode_counts": bpe_encode_q,
@@ -3469,6 +3722,7 @@ ORACLE_SQL: dict[str, str] = {
     "repetition_stats": REPETITION_SQL,
     "pack_token_windows": PACK_SQL,
     "pack_assignments": PACK_ASSIGN_SQL,
+    "shuffle_order": SHUFFLE_ORDER_SQL,
     "chunk_documents": CHUNK_SQL,
     "stratified_sample": STRATIFIED_SQL,
     "sample_documents": SAMPLE_DOCS_SQL,
@@ -3482,6 +3736,7 @@ ORACLE_SQL: dict[str, str] = {
     "remove_shared_windows": REMOVE_SHARED_SQL,
     "remove_shared_windows_screened": REMOVE_SHARED_SQL,
     "gopher_rules": GOPHER_SQL,
+    "gopher_repetition": GOPHER_REP_SQL,
     "c4_rules": C4_SQL,
     "url_dedup": URL_DEDUP_SQL,
     "bloom_probe": BLOOM_SQL,

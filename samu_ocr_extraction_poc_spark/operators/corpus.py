@@ -123,6 +123,88 @@ def _md5_bucket(col: Column, hex_chars: int, modulus: int) -> Column:
     )
 
 
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+    n_buckets: int = 256,
+    docs_per_shard: int = 1000,
+) -> DataFrame:
+    """Deterministic GLOBAL training-order shuffle: every document gets its
+    exact 1-based position in the md5-shuffled corpus order plus the
+    ordered-shard assignment a sequential training reader consumes —
+    the step between curation and the shard sink (epoch order must be a
+    uniform permutation, reproducible across reruns, and NOT the ingest
+    order; pack_assignments hashes docs to shards but gives no global
+    order).
+
+    Order key = md5(salt ':' doc_id); ties broken by doc_id (128-bit
+    collisions aside, the key alone is already unique). The scale path is
+    the two-phase distributed rank — a global ``row_number`` window would
+    serialize the corpus through one SinglePartition sort:
+
+    1. range bucket: the top 16 bits of the key, scaled to ``n_buckets``
+       — monotone in the key's lexicographic (= numeric) order, so every
+       key in bucket i sorts before every key in bucket i+1, and md5
+       uniformity makes bucket sizes even (no skew, no sampling step
+       needed, unlike Spark's rangepartitioning sampler).
+    2. per-bucket counts (ONE narrow partial agg over the id projection)
+       are collected — ``n_buckets`` rows — and turned into exclusive
+       prefix-sum offsets, broadcast-joined back.
+    3. within a bucket: a PARTITIONED row_number window (each partition
+       ~n/n_buckets rows; raise ``n_buckets`` with corpus size).
+
+    ``shuffle_pos`` = offset + within-bucket rank; ``shard`` / quad
+    ``pos_in_shard`` chop that order into ``docs_per_shard``-sized
+    sequential-read units. Two passes over the id column, both narrow —
+    the count pass reads no text.
+
+    Returns (doc_id, shuffle_pos, shard, pos_in_shard).
+    """
+    key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("k"),
+        (
+            F.conv(F.substring(key, 1, 4), 16, 10).cast("bigint")
+            * n_buckets
+            / F.lit(65536)
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    counts = sorted(
+        (r["bucket"], r["n"])
+        for r in base.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "bucket bigint, off bigint")
+    )
+    w = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    pos = (F.col("off") + F.row_number().over(w)).cast("bigint")
+    # withColumn is a projection boundary: the window evaluates once and
+    # the shard columns reference the materialized attribute
+    return (
+        base.join(off, "bucket")
+        .withColumn("shuffle_pos", pos)
+        .select(
+            "doc_id",
+            "shuffle_pos",
+            F.floor((F.col("shuffle_pos") - 1) / F.lit(docs_per_shard))
+            .cast("bigint")
+            .alias("shard"),
+            ((F.col("shuffle_pos") - 1) % docs_per_shard + 1)
+            .cast("bigint")
+            .alias("pos_in_shard"),
+        )
+    )
+
+
 def pack_assignments(
     df: DataFrame,
     budget: int = 256,
@@ -534,6 +616,237 @@ def gopher_rules(
         * F.col("is_ellipsis_ok")
     ).cast("int")
     return flags.select("*", keep.alias("keep"))
+
+
+# (n, multiplier_on_chars, multiplier_on_total): keep while
+# mult_chars * chars <= mult_total * total_chars, i.e. fraction <= threshold.
+_GOPHER_TOP_THRESHOLDS = {2: (5, 1), 3: (50, 9), 4: (25, 4)}  # 0.20 / 0.18 / 0.16
+_GOPHER_DUP_THRESHOLDS = {
+    5: (20, 3),  # 0.15
+    6: (50, 7),  # 0.14
+    7: (100, 13),  # 0.13
+    8: (25, 3),  # 0.12
+    9: (100, 11),  # 0.11
+    10: (10, 1),  # 0.10
+}
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher REPETITION rules (Rae et al. 2021, arXiv:2112.11446 App. A1,
+    Table A1 'repetition removal') — the companion of :func:`gopher_rules`'
+    A1.1 quality table; :func:`repetition_stats`' two signals were the
+    round-1 stand-in, this is the full 13-signal table. Every threshold is
+    cross-multiplied into INTEGER arithmetic (zero FP), so the DuckDB
+    oracle replays bit-exactly. A document is dropped when a fraction
+    EXCEEDS its paper threshold, so every ``is_*`` flag is
+    ``fraction <= threshold`` and ``keep`` is their product.
+
+    Signals (raw integer numerators/denominators are all returned, so the
+    driver hash pins the full computation, not just the verdicts):
+
+    - duplicate line / paragraph fraction (> 0.30 drops): occurrences
+      beyond the first of each distinct element, over total elements.
+      Lines = non-empty ``\\n`` splits; paragraphs = non-empty ``\\n\\n``
+      splits (a blank line is structure, not content). Because duplicate
+      occurrences are IDENTICAL strings, beyond-first counts/chars reduce
+      to total-minus-distinct — one array_distinct per row, no O(m^2)
+      positional walk, no shuffle.
+    - duplicate line / paragraph CHARACTER fraction (> 0.20): characters
+      of those beyond-first occurrences over total element characters.
+    - top 2/3/4-gram character fraction (> 0.20 / 0.18 / 0.16): count of
+      the single most frequent word n-gram times its character length
+      (token chars; joining spaces excluded), over total token characters.
+      Tie-break: lexicographically smallest gram among the max-count set
+      (min(struct(-cnt, gram)) — the deterministic cross-engine rule, the
+      top_ngrams_per_stratum precedent).
+    - duplicate 5..10-gram character fraction (> 0.15 / 0.14 / 0.13 /
+      0.12 / 0.11 / 0.10): characters of tokens COVERED by at least one
+      occurrence of an n-gram occurring >= 2 times in the document, over
+      total token characters — overlapping occurrences counted once (the
+      interval cover, remove_shared_windows' discipline applied per
+      document).
+
+    Word stats tokenize the newline-FLATTENED text with empty tokens
+    filtered (the gopher_rules r4 lesson: blank lines would otherwise
+    emit empty pseudo-tokens). Plan shape: line/paragraph stats and the
+    total-character denominator are ONE narrow projection on the scan;
+    the n-gram side is one explode into (k, pos, gram) structs for all
+    nine k at once, ONE partial-aggregable groupBy (positions collected
+    only for k >= 5, where coverage needs them), narrow-row shuffles
+    keyed by (doc_id[, k], idx), and two doc_id-keyed left joins back —
+    no window function, no SinglePartition anywhere. At 100 TB every
+    frame after the groupBy is duplicate-bounded, and the token-index
+    join ships (doc_id, idx, len) rows, never the token arrays.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    flat = F.replace(F.col("text"), F.lit("\n"), F.lit(" "))
+    toks_expr = F.filter(tokens(flat), lambda t: t != F.lit(""))
+
+    def sum_len(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"), lambda a, e: a + F.length(e)
+        )
+
+    def dup_stats(elems_expr: Column) -> Column:
+        def body(elems: Column) -> Column:
+            def with_distinct(d: Column) -> Column:
+                return F.struct(
+                    F.size(elems).cast("bigint").alias("n"),
+                    (F.size(elems) - F.size(d)).cast("bigint").alias("dups"),
+                    (sum_len(elems) - sum_len(d)).alias("dup_chars"),
+                    sum_len(elems).alias("chars"),
+                )
+
+            return let_bound(F.array_distinct(elems), with_distinct)
+
+        return let_bound(elems_expr, body)
+
+    nonempty = lambda x: x != F.lit("")  # noqa: E731
+    stats = base.select(
+        "doc_id",
+        dup_stats(F.filter(F.split(F.col("text"), "\n"), nonempty)).alias("ls"),
+        dup_stats(F.filter(F.split(F.col("text"), "\n\n"), nonempty)).alias("ps"),
+        let_bound(toks_expr, sum_len).alias("total_chars"),
+    )
+
+    wbase = base.select("doc_id", toks_expr.alias("w"))
+    w = F.col("w")
+    all_k = tuple(_GOPHER_TOP_THRESHOLDS) + tuple(_GOPHER_DUP_THRESHOLDS)
+
+    def gram_arr(k: int) -> Column:
+        n = F.size(w)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.struct(
+                F.lit(k).alias("k"),
+                i.alias("pos"),
+                F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(k)]
+                ).alias("gram"),
+            ),
+        )
+        # sequence(1, n-k+1) DESCENDS for n < k — guard to empty
+        return F.when(n >= k, grams).otherwise(
+            F.array().cast("array<struct<k:int,pos:int,gram:string>>")
+        )
+
+    grams = wbase.select(
+        "doc_id", F.explode(F.concat(*[gram_arr(k) for k in all_k])).alias("g")
+    ).select("doc_id", "g.k", "g.pos", "g.gram")
+    counts = grams.groupBy("doc_id", "k", "gram").agg(
+        F.count("*").alias("cnt"),
+        # positions are only needed for the k>=5 coverage path; nulls are
+        # skipped by collect_list, so k<=4 groups carry an empty array
+        F.collect_list(F.when(F.col("k") >= 5, F.col("pos"))).alias("ps"),
+    )
+
+    top_p = (
+        counts.where(F.col("k") <= 4)
+        .groupBy("doc_id", "k")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg"), F.col("gram").alias("gram"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            "k",
+            ((-F.col("m.neg")) * (F.length("m.gram") - (F.col("k") - 1))).alias(
+                "chars"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("k") == k, F.col("chars"))).alias(
+                    f"top{k}_chars"
+                )
+                for k in _GOPHER_TOP_THRESHOLDS
+            ]
+        )
+    )
+
+    tok_idx = wbase.select(
+        "doc_id", F.posexplode(w).alias("idx0", "tok")
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), F.length("tok").alias("len"))
+    cov_p = (
+        counts.where((F.col("k") >= 5) & (F.col("cnt") >= 2))
+        .select("doc_id", "k", F.explode("ps").alias("pos"))
+        .select(
+            "doc_id",
+            "k",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("k") - 1)
+            ).alias("idx"),
+        )
+        .distinct()
+        .join(tok_idx, ["doc_id", "idx"])
+        .groupBy("doc_id", "k")
+        .agg(F.sum("len").alias("chars"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("k") == k, F.col("chars"))).alias(
+                    f"dup{k}_chars"
+                )
+                for k in _GOPHER_DUP_THRESHOLDS
+            ]
+        )
+    )
+
+    joined = stats.join(top_p, "doc_id", "left").join(cov_p, "doc_id", "left")
+
+    def z(c: str) -> Column:
+        return F.coalesce(F.col(c), F.lit(0)).cast("bigint")
+
+    def flag(cond: Column) -> Column:
+        return F.when(cond, 1).otherwise(0).cast("int")
+
+    tot = z("total_chars")
+    gram_cols = [z(f"top{k}_chars").alias(f"top{k}_chars") for k in _GOPHER_TOP_THRESHOLDS]
+    gram_cols += [z(f"dup{k}_chars").alias(f"dup{k}_chars") for k in _GOPHER_DUP_THRESHOLDS]
+    flags = [
+        flag(10 * F.col("ls.dups") <= 3 * F.col("ls.n")).alias("is_dup_line_ok"),
+        flag(5 * F.col("ls.dup_chars") <= F.col("ls.chars")).alias("is_dup_line_char_ok"),
+        flag(10 * F.col("ps.dups") <= 3 * F.col("ps.n")).alias("is_dup_para_ok"),
+        flag(5 * F.col("ps.dup_chars") <= F.col("ps.chars")).alias("is_dup_para_char_ok"),
+    ]
+    flags += [
+        flag(a * z(f"top{k}_chars") <= b * tot).alias(f"is_top{k}_ok")
+        for k, (a, b) in _GOPHER_TOP_THRESHOLDS.items()
+    ]
+    flags += [
+        flag(a * z(f"dup{k}_chars") <= b * tot).alias(f"is_dup{k}_ok")
+        for k, (a, b) in _GOPHER_DUP_THRESHOLDS.items()
+    ]
+    flag_names = [
+        "is_dup_line_ok", "is_dup_line_char_ok", "is_dup_para_ok",
+        "is_dup_para_char_ok",
+        *[f"is_top{k}_ok" for k in _GOPHER_TOP_THRESHOLDS],
+        *[f"is_dup{k}_ok" for k in _GOPHER_DUP_THRESHOLDS],
+    ]
+    out = joined.select(
+        "doc_id",
+        F.col("ls.n").alias("n_lines"),
+        F.col("ls.dups").alias("dup_lines"),
+        F.col("ls.dup_chars").alias("dup_line_chars"),
+        F.col("ls.chars").alias("line_chars"),
+        F.col("ps.n").alias("n_paras"),
+        F.col("ps.dups").alias("dup_paras"),
+        F.col("ps.dup_chars").alias("dup_para_chars"),
+        F.col("ps.chars").alias("para_chars"),
+        tot.alias("total_chars"),
+        *gram_cols,
+        *flags,
+    )
+    keep = F.lit(1)
+    for name in flag_names:
+        keep = keep * F.col(name)
+    return out.select("*", keep.cast("int").alias("keep"))
 
 
 def c4_rules(

@@ -162,7 +162,7 @@ DRIVER_WINDOW_50 = [
     "html_strip",
     "media_features", "bpe_train_long", "remove_shared_windows_screened",
     "cms_word_counts", "length_quantiles", "source_length_quantiles",
-    "ccnet_buckets",
+    "ccnet_buckets", "gopher_repetition",
     "remove_shared_windows", "extract_order_check", "gopher_rules",
     "c4_rules", "url_dedup", "bloom_probe",
     "events_hourly", "user_sessions",
@@ -171,10 +171,11 @@ DRIVER_WINDOW_50 = [
     "first_seen_event_types", "dedup_keepfirst", "minhash_signatures",
     "simhash_near_pairs", "props_parse", "ngram_jaccard_top_pairs",
     "token_stats", "lang_id_heuristic", "shared_window_pairs",
-    "contamination_check", "repetition_stats", "pack_token_windows",
-    "pack_assignments", "chunk_documents", "stratified_sample",
+    "contamination_check", "repetition_stats",
+    "pack_assignments", "shuffle_order", "chunk_documents",
+    "stratified_sample",
     "sample_documents", "quality_filter", "budget_sample", "pii_redact",
-    "lm_surprise", "lm_surprise_bigram",
+    "lm_surprise",
 ]
 
 

@@ -333,6 +333,46 @@ def test_pack_token_windows_has_no_global_window(spark):
     assert "hashpartitioning(shard" in plan  # the window runs per shard
 
 
+def test_global_shuffle_semantics_and_plan(spark):
+    """Deterministic global training-order shuffle: the two-phase
+    distributed rank (range buckets + collected offsets + partitioned
+    window) must equal the serial md5-sort rank EXACTLY, be invariant to
+    input partitioning, chop shards by exact position — and its plan must
+    contain no SinglePartition window (a global ORDER BY row_number would
+    serialize the corpus through one task at 100 TB)."""
+    import hashlib
+
+    from samu_ocr_extraction_poc_spark.operators.corpus import global_shuffle
+
+    df = spark.range(1, 201).withColumnRenamed("id", "doc_id")
+    out = global_shuffle(df, n_buckets=16, docs_per_shard=32)
+    rows = {
+        r["doc_id"]: (r["shuffle_pos"], r["shard"], r["pos_in_shard"])
+        for r in out.collect()
+    }
+    order = sorted(
+        range(1, 201),
+        key=lambda i: (hashlib.md5(f"shuf:{i}".encode()).hexdigest(), i),
+    )
+    assert all(rows[doc][0] == pos + 1 for pos, doc in enumerate(order))
+    assert sorted(v[0] for v in rows.values()) == list(range(1, 201))
+    assert all(
+        v[1] == (v[0] - 1) // 32 and v[2] == (v[0] - 1) % 32 + 1
+        for v in rows.values()
+    )
+    # input partitioning must not change the order (the rank is a pure
+    # function of doc_id, not of physical layout)
+    again = {
+        (r["doc_id"], r["shuffle_pos"])
+        for r in global_shuffle(df.repartition(7), n_buckets=16).collect()
+    }
+    assert again == {(k, v[0]) for k, v in rows.items()}
+    # the within-bucket window is partitioned; no global sort/window
+    plan = _plan(out)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(bucket" in plan
+
+
 def test_bm25_has_no_window_and_takes_ordered_topk(spark):
     """VERDICT r2 item 1: bm25 ranking must be distributed top-k, never a
     global no-partition window (round-2 moved every matching doc through a
@@ -1428,6 +1468,64 @@ def test_gopher_rules_semantics(spark):
     assert out[6]["is_mean_len_ok"] == 0
     for d in (2, 3, 4, 6):
         assert out[d]["keep"] == 0
+
+
+def test_gopher_repetition_semantics(spark):
+    """Gopher repetition rules on crafted documents, pinning the behaviors
+    the oracle hash alone can't localize: identical-string dup reduction
+    (total-minus-distinct), the lexicographic top-gram tie-break, the
+    coverage-counted-ONCE discipline for overlapping duplicate n-grams,
+    and the short/empty-doc descending-sequence guards."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import gopher_repetition
+
+    clean = " ".join(f"word{i:02d}" for i in range(30))
+    dup_lines = "\n".join(["alpha beta"] * 5 + [f"solo line{i}" for i in range(5)])
+    dup_paras = "\n\n".join(["para one\nline two"] * 2 + ["unique\nclosing"])
+    top_bigram = " ".join(["xy"] * 8)
+    overlap = " ".join(["a"] * 6)  # 5-gram "a a a a a" at pos 1 and 2
+    tie = "bb bb a a"  # all bigrams cnt=1; lexicographic min is "a a"
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, dup_lines),
+            (3, dup_paras),
+            (4, top_bigram),
+            (5, overlap),
+            (6, tie),
+            (7, ""),
+            (8, "p q r"),  # shorter than every dup-gram k: guard, not crash
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    assert out[1]["keep"] == 1  # sanity: a clean doc passes everything
+
+    # 4 beyond-first copies of a 10-char line -> 4/10 > 0.3, 40 chars dup
+    assert out[2]["n_lines"] == 10 and out[2]["dup_lines"] == 4
+    assert out[2]["dup_line_chars"] == 40
+    assert out[2]["is_dup_line_ok"] == 0 and out[2]["is_dup_line_char_ok"] == 0
+
+    # 1 beyond-first copy of 3 paragraphs -> 1/3 > 0.3
+    assert out[3]["n_paras"] == 3 and out[3]["dup_paras"] == 1
+    assert out[3]["is_dup_para_ok"] == 0
+
+    # top bigram "xy xy" x7, chars = 7 * 4 token chars vs 16 total
+    assert out[4]["top2_chars"] == 28 and out[4]["total_chars"] == 16
+    assert out[4]["is_top2_ok"] == 0
+
+    # overlapping occurrences cover tokens ONCE: 6 chars, not 10
+    assert out[5]["dup5_chars"] == 6 and out[5]["is_dup5_ok"] == 0
+    # the 6-gram occurs only once -> not a duplicate
+    assert out[5]["dup6_chars"] == 0 and out[5]["is_dup6_ok"] == 1
+
+    # cnt-tie among bigrams -> lexicographically smallest gram "a a" wins
+    assert out[6]["top2_chars"] == 2
+
+    # empty doc: all-zero stats, every <= comparison holds at 0 <= 0
+    assert out[7]["total_chars"] == 0 and out[7]["keep"] == 1
+    # 3 tokens: every k>=5 gram array is guarded empty (sequence descends)
+    assert out[8]["dup5_chars"] == 0 and out[8]["dup10_chars"] == 0
+    assert all(out[8][f"is_dup{k}_ok"] == 1 for k in range(5, 11))
 
 
 def test_bloom_membership_semantics(spark):
