@@ -96,6 +96,21 @@ HEADLINE = [
     "embed_ivf_topk",
     "events_hourly",
     "user_sessions",
+    # round-5 additions (sf0.1 single-entry times 1.4-10 s; bpe_train_long
+    # deliberately EXCLUDED — 28 s at sf0.1 and bpe_train_merges already
+    # times the family; its checkpoint path is driver-gated for correctness)
+    "media_features",
+    "cms_word_counts",
+    "heavy_hitters",
+    "vocab_coverage",
+    "length_quantiles",
+    "source_length_quantiles",
+    "ccnet_buckets",
+    "shuffle_order",
+    "gopher_repetition",
+    # the stride-k screen is the 100 TB path for exact-substring dedup;
+    # timed alongside the stride-1 exact entry above
+    "remove_shared_windows_screened",
 ]
 
 

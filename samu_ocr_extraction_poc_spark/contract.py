@@ -1660,6 +1660,106 @@ FROM cpe JOIN cex ON cex.key = cpe.key
 """
 
 
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters via the CMS screen + verify-on-candidates
+    (operators/sketch.py:cms_heavy_hitters): every word with frequency
+    >= 1/500 of the corpus token stream, with its EXACT count — the
+    sketch is only a lossless pre-shuffle screen, so the oracle is the
+    plain exact-count SQL and the parity gate proves the screen dropped
+    nothing. The driver corpus has a 31-word vocabulary (everything is
+    heavy), so the entry injects a deterministic long tail the screen
+    exists to kill: one per-doc singleton token (u + md5 prefix) and one
+    mod-211 rare token per doc — ~711 tail types that shuffle in the
+    naive plan and die below the exchange here. Width 128 x depth 3
+    keeps the cell literal tiny AND collides the tail into heavy cells,
+    so the verify step's collision-kill path runs on the driver data,
+    not just in the semantics test."""
+    from .operators import sketch as SK
+
+    tail = F.concat(
+        F.col("text"),
+        F.lit(" u"),
+        F.substring(
+            F.md5(F.concat(F.lit("hh:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        F.lit(" t"),
+        (F.col("doc_id") % 211).cast("string"),
+    )
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(TX.tokens(TX.normalized(tail))).alias("key"))
+        .where(F.length("key") > 0)
+    )
+    return SK.cms_heavy_hitters(
+        words, "key", num=1, den=500, width=128, depth=3
+    ).withColumnRenamed("key", "word")
+
+
+HEAVY_HITTERS_SQL = """
+WITH hd AS (SELECT text || ' u' || substr(md5('hh:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   || ' t' || CAST(doc_id % 211 AS VARCHAR) AS text
+            FROM documents),
+hw0 AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS k
+        FROM hd),
+hw AS (SELECT k FROM hw0 WHERE length(k) > 0),
+ht AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hw),
+hc AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM hw GROUP BY k)
+SELECT hc.k AS word, hc.cnt
+FROM hc, ht
+WHERE hc.cnt * 500 >= ht.n * 1
+"""
+
+
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V vocabulary coverage (operators/corpus.py:vocab_coverage) —
+    the tokenizer-design calibration: occurrences covered by the V most
+    frequent types per candidate vocab size. Spark computes it from the
+    bounded count-of-counts LEVEL table (coverage is tie-independent, so
+    no global rank window exists anywhere in the plan); the oracle
+    deliberately computes the SERIAL row_number-window form, so the
+    parity gate proves level-arithmetic == serial rank (the
+    shuffle_order discipline). Same injected long tail as heavy_hitters
+    (the 31-word driver vocabulary would make every size trivially
+    full-coverage); sizes straddle the head (1, 4, 16, 31), the tail
+    (100), and the oversized clamp (1000 > total types)."""
+    from .operators import corpus as CP
+
+    tail = F.concat(
+        F.col("text"),
+        F.lit(" u"),
+        F.substring(
+            F.md5(F.concat(F.lit("hh:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        F.lit(" t"),
+        (F.col("doc_id") % 211).cast("string"),
+    )
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(TX.tokens(TX.normalized(tail))).alias("key"))
+        .where(F.length("key") > 0)
+    )
+    return CP.vocab_coverage(words, "key", sizes=(1, 4, 16, 31, 100, 1000))
+
+
+VOCAB_COVERAGE_SQL = """
+WITH vd AS (SELECT text || ' u' || substr(md5('hh:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   || ' t' || CAST(doc_id % 211 AS VARCHAR) AS text
+            FROM documents),
+vw0 AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS k
+        FROM vd),
+vw AS (SELECT k FROM vw0 WHERE length(k) > 0),
+vc AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM vw GROUP BY k),
+vr AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, k ASC) AS rk FROM vc),
+vt AS (SELECT CAST(count(*) AS BIGINT) AS total_types, CAST(sum(cnt) AS BIGINT) AS total FROM vc),
+vs AS (SELECT unnest([1, 4, 16, 31, 100, 1000]) AS v),
+vcov AS (SELECT vs.v, CAST(sum(CASE WHEN vr.rk <= vs.v THEN vr.cnt ELSE 0 END) AS BIGINT) AS covered
+         FROM vs CROSS JOIN vr GROUP BY vs.v)
+SELECT CAST(vcov.v AS BIGINT) AS v, vcov.covered, vt.total, vt.total_types,
+       CAST((vcov.covered * 1000) // vt.total AS BIGINT) AS cover_permille
+FROM vcov, vt
+"""
+
+
 def length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length-distribution quantiles off a mergeable equi-width
     histogram sketch (operators/sketch.py:hist_build/hist_quantiles —
@@ -3593,6 +3693,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_length_quantiles": source_length_quantiles_q,
     "ccnet_buckets": ccnet_buckets_q,
     "gopher_repetition": gopher_repetition_q,
+    "heavy_hitters": heavy_hitters_q,
+    "vocab_coverage": vocab_coverage_q,
     # --- (b') new in round 4, kept in-window per VERDICT r4 item 3
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
@@ -3626,20 +3728,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": chunk_documents_q,
     "stratified_sample": stratified_sample_q,
     "sample_documents": sample_documents_q,
-    "quality_filter": quality_filter_q,
     "budget_sample": budget_sample_q,
     "pii_redact": pii_redact_q,
-    "lm_surprise": lm_surprise_q,
     # ---------------------- position 51+ -------------------------------
     # r6-rotation head: entries cut by the 50-cap — displaced by the
     # round-5-new block, which takes priority (a new entry is
     # NEVER-checked; a displaced one is r03/r04-green with same-family
-    # in-window coverage: lm_surprise_bigram r04-green with lm_surprise
-    # staying in-window; pack_token_windows r03-green, its family
-    # covered by pack_assignments staying in-window (shuffle_order is
-    # never-checked and displaces it); CCNet segment family via
-    # segment_dedup's r04 pass + ccnet_buckets, DSIR via dsir_select
-    # r04, BPE via bpe_train_long)
+    # in-window coverage: lm_surprise r03-green, displaced by the
+    # never-checked heavy_hitters, its surprisal family in-window via
+    # ccnet_buckets which consumes the same proxy; quality_filter
+    # r03-green, displaced by the never-checked vocab_coverage, its
+    # quality-gate family in-window via gopher_rules + c4_rules;
+    # lm_surprise_bigram r04-green; pack_token_windows r03-green, its
+    # family covered by pack_assignments staying in-window
+    # (shuffle_order is never-checked and displaces it); CCNet segment
+    # family via segment_dedup's r04 pass + ccnet_buckets, DSIR via
+    # dsir_select r04, BPE via bpe_train_long)
+    "quality_filter": quality_filter_q,
+    "lm_surprise": lm_surprise_q,
     "pack_token_windows": pack_token_windows_q,
     "lm_surprise_bigram": lm_surprise2_q,
     "boilerplate_strip": boilerplate_strip_q,
@@ -3741,6 +3847,8 @@ ORACLE_SQL: dict[str, str] = {
     "url_dedup": URL_DEDUP_SQL,
     "bloom_probe": BLOOM_SQL,
     "cms_word_counts": CMS_SQL,
+    "heavy_hitters": HEAVY_HITTERS_SQL,
+    "vocab_coverage": VOCAB_COVERAGE_SQL,
     "length_quantiles": LENGTH_QUANTILES_SQL,
     "source_length_quantiles": SOURCE_LENGTH_QUANTILES_SQL,
     "ccnet_buckets": CCNET_BUCKETS_SQL,

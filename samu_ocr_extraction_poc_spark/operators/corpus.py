@@ -849,6 +849,105 @@ def gopher_repetition(
     return out.select("*", keep.cast("int").alias("keep"))
 
 
+def vocab_coverage(
+    df: DataFrame,
+    key_col: str = "key",
+    sizes: tuple[int, ...] = (100, 1000, 10000),
+) -> DataFrame:
+    """Top-V vocabulary coverage — the tokenizer-design calibration table:
+    for each candidate vocabulary size V, how many token OCCURRENCES the
+    V most frequent types cover (ties by (count desc, key asc)), i.e.
+    the OOV/UNK mass a V-type vocabulary leaves behind.
+
+    The naive rank is a global ``row_number`` over types ordered by count
+    desc — a SinglePartition sort of the whole vocabulary. The scale path
+    rests on a tie-independence observation: every type at the same count
+    level contributes the same mass, so coverage depends only on the
+    COUNT-OF-COUNTS table, never on which keys break the tie. Plan:
+
+    1. type counts: the one corpus-sized partial-aggregable groupBy
+       (bounded by vocabulary size, not corpus size);
+    2. level table ``(cnt, n_types)``: a second groupBy, bounded by the
+       number of DISTINCT count values (<= sqrt(2 * corpus) levels — the
+       sum of distinct positive integers caps them);
+    3. inclusive cumulative types/mass per level via a bounded self-join
+       (the hist_quantiles cum discipline, never a window);
+    4. per requested V: the unique level where the V-th ranked type
+       lands (max cnt with cum_types >= Veff), covered = mass of
+       strictly-higher levels + the level's count times the types taken
+       from it. ``Veff = least(V, total_types)`` clamps oversized
+       vocabularies to full coverage.
+
+    The scalar totals row (1 row over <= #levels inputs) is the
+    length_quantiles documented-SinglePartition class — bounded input,
+    never corpus-sized. The DuckDB oracle deliberately computes the
+    SERIAL form (row_number window over types), so the parity gate
+    proves level-arithmetic == serial rank, the shuffle_order discipline.
+
+    Returns (v, covered, total, total_types, cover_permille) —
+    all BIGINT, cover_permille = (covered * 1000) div total, integer
+    division end to end (zero FP). An EMPTY key stream returns no rows
+    (there is no level for any V to land in); both engines agree.
+    """
+    counts = (
+        df.select(F.col(key_col).alias("k__"))
+        .groupBy("k__")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    levels = counts.groupBy("cnt").agg(F.count("*").cast("bigint").alias("n_types"))
+    lv = levels.alias("a")
+    cum = (
+        lv.join(levels.alias("b"), F.col("b.cnt") >= F.col("a.cnt"))
+        .groupBy(F.col("a.cnt").alias("cnt"), F.col("a.n_types").alias("n_types"))
+        .agg(
+            F.sum("b.n_types").cast("bigint").alias("cum_types"),
+            F.sum(F.col("b.cnt") * F.col("b.n_types")).cast("bigint").alias("cum_mass"),
+        )
+    )
+    totals = levels.agg(
+        F.sum("n_types").cast("bigint").alias("total_types"),
+        F.sum(F.col("cnt") * F.col("n_types")).cast("bigint").alias("total"),
+    )
+    sizes_df = df.sparkSession.createDataFrame(
+        [(int(v),) for v in sizes], "v bigint"
+    )
+    veff = F.least(F.col("v"), F.col("total_types"))
+    hit = (
+        sizes_df.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(cum), F.col("cum_types") >= veff)
+        .groupBy("v", "total_types", "total")
+        .agg(
+            F.max("cnt").alias("lvl_cnt"),
+        )
+    )
+    out = (
+        hit.join(
+            F.broadcast(cum.select(F.col("cnt").alias("lvl_cnt"), "cum_types", "cum_mass")),
+            "lvl_cnt",
+        )
+        .select(
+            "v",
+            (
+                F.col("cum_mass")
+                - (F.col("cum_types") - F.least(F.col("v"), F.col("total_types")))
+                * F.col("lvl_cnt")
+            ).alias("covered"),
+            "total",
+            "total_types",
+        )
+        .select(
+            "v",
+            "covered",
+            "total",
+            "total_types",
+            F.expr("CAST((covered * 1000) DIV total AS BIGINT)").alias(
+                "cover_permille"
+            ),
+        )
+    )
+    return out
+
+
 def c4_rules(
     df: DataFrame,
     text_col: str = "text",

@@ -357,6 +357,84 @@ def cms_query(
     )
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str = "key",
+    num: int = 1,
+    den: int = 500,
+    width: int = 1 << 12,
+    depth: int = 4,
+) -> DataFrame:
+    """EXACT heavy hitters via a CMS screen + verify-on-candidates — the
+    sketch-as-screen composition (Cormode & Muthukrishnan 2005 §4;
+    Charikar et al. 2002's find-then-verify discipline, and the
+    remove_shared_windows_screened precedent applied to frequencies):
+    return every key whose exact occurrence count satisfies
+    ``cnt * den >= total * num`` (frequency >= num/den of the stream).
+
+    The naive plan — ``groupBy(key).count()`` then filter — shuffles one
+    partial-count row per distinct key per input partition: at 100 TB the
+    exchange is dominated by the long tail (singletons, near-singletons)
+    that can never be heavy. The screen kills that tail BELOW the
+    exchange:
+
+    1. the :func:`cms_build` cell table (bounded: depth*width rows) is
+       collected ONCE driver-side — the global_shuffle offsets / kmeans
+       centroid-literal precedent — and re-enters the plan as ONE flat
+       array literal (never per-element ``lit()`` calls: the
+       embed_contamination lesson). ``total`` is read off the sketch
+       itself (every depth row's cells sum to the stream length), so the
+       whole operator is TWO input passes: build, then screen+count.
+    2. every key INSTANCE is point-estimated row-locally — ``least`` over
+       ``depth`` ``element_at`` probes of the literal, pure md5
+       arithmetic, no join, no explode, no shuffle — and filtered by
+       ``est * den >= total * num``. CMS never undercounts, so the
+       survivor set is a SUPERSET of the true heavy hitters: the screen
+       is provably lossless and the final result needs no sketch caveat.
+    3. only survivors reach the exchange; the exact groupBy count and the
+       same integer threshold re-applied on true counts discard the
+       collision-induced false candidates.
+
+    All-integer comparisons (cross-multiplied; fits BIGINT for
+    ``total * max(num, den)`` < 2^63, i.e. any real corpus), so the
+    DuckDB oracle is the plain exact-count SQL — the screen's
+    losslessness is exactly what the parity gate then proves. Keep
+    ``width`` modest: the literal is depth*width BIGINTs embedded in the
+    plan; smaller widths trade more screen false-positives (extra exact
+    work) for a smaller plan, never a wrong result.
+
+    Returns (key_col, cnt) — one row per true heavy hitter, exact counts.
+    """
+    keyed = df.select(F.col(key_col).alias("k__"))
+    flat = [0] * (depth * width)
+    for r in cms_build(keyed, "k__", width=width, depth=depth).where(
+        F.col("d") >= 0
+    ).collect():
+        flat[r["d"] * width + r["c"]] = r["cnt"]
+    total = sum(flat[:width])
+    arr = F.lit(flat)
+    probes = [
+        F.element_at(
+            arr,
+            (
+                token_md5_long(F.col("k__"), prefix=f"cms{j}:") % F.lit(width)
+                + j * width
+                + 1
+            ).cast("int"),
+        )
+        for j in range(depth)
+    ]
+    est = probes[0] if depth == 1 else F.least(*probes)
+    bar = F.lit(int(total) * num).cast("bigint")
+    return (
+        keyed.where(est * den >= bar)
+        .groupBy("k__")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .where(F.col("cnt") * den >= bar)
+        .withColumnRenamed("k__", key_col)
+    )
+
+
 # Histogram meta sentinels: b is the bin index (real rows b >= 0), the
 # separate-rows discipline shared with the Bloom/CMS handshakes above.
 _HIST_META_LO = -1

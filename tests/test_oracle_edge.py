@@ -46,7 +46,7 @@ DOC_QUERIES = [
     # rest are documents-based and must hold on the pathological corpus)
     "remove_shared_windows_screened", "bpe_train_long", "cms_word_counts",
     "length_quantiles", "source_length_quantiles", "ccnet_buckets",
-    "gopher_repetition", "shuffle_order",
+    "gopher_repetition", "shuffle_order", "heavy_hitters", "vocab_coverage",
 ]
 
 

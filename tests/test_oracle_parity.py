@@ -162,7 +162,7 @@ DRIVER_WINDOW_50 = [
     "html_strip",
     "media_features", "bpe_train_long", "remove_shared_windows_screened",
     "cms_word_counts", "length_quantiles", "source_length_quantiles",
-    "ccnet_buckets", "gopher_repetition",
+    "ccnet_buckets", "gopher_repetition", "heavy_hitters", "vocab_coverage",
     "remove_shared_windows", "extract_order_check", "gopher_rules",
     "c4_rules", "url_dedup", "bloom_probe",
     "events_hourly", "user_sessions",
@@ -174,8 +174,7 @@ DRIVER_WINDOW_50 = [
     "contamination_check", "repetition_stats",
     "pack_assignments", "shuffle_order", "chunk_documents",
     "stratified_sample",
-    "sample_documents", "quality_filter", "budget_sample", "pii_redact",
-    "lm_surprise",
+    "sample_documents", "budget_sample", "pii_redact",
 ]
 
 

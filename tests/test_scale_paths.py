@@ -1628,6 +1628,104 @@ def test_cms_semantics(spark):
     assert any(nest[k] > exact[k] for k in exact)  # collisions really fire
 
 
+def test_cms_heavy_hitters_exact_and_plan(spark):
+    """CMS screen + verify-on-candidates heavy hitters: the result must
+    equal the naive exact groupBy-then-filter at EVERY sketch width (the
+    screen is lossless — CMS never undercounts, so true heavy hitters
+    always survive it), collision-induced false candidates must really
+    occur at narrow widths AND be killed by the exact verify, and the
+    plan must show the screen filter BELOW the exchange (the whole point:
+    the vocabulary tail dies before it shuffles) with no join, no
+    SinglePartition."""
+    import hashlib
+
+    from samu_ocr_extraction_poc_spark.operators.sketch import cms_heavy_hitters
+
+    rows = (
+        [("hot",)] * 60
+        + [("warm",)] * 25
+        + [("cool",)] * 3
+        + [(f"t{i}",) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "key string").repartition(7)
+    # total = 188; freq >= 1/10 -> cnt*10 >= 188 -> cnt >= 19: hot, warm
+    expected = {"hot": 60, "warm": 25}
+    for width in (4, 16, 256):
+        got = {
+            r["key"]: r["cnt"]
+            for r in cms_heavy_hitters(
+                df, "key", num=1, den=10, width=width, depth=2
+            ).collect()
+        }
+        assert got == expected, width
+    # at width 4 / depth 1 the 103 keys share 4 cells: some non-heavy key's
+    # estimate is dragged over the bar by a heavy cellmate (deterministic
+    # md5 arithmetic, replayed here), so the exact verify genuinely kills
+    # screen survivors rather than rubber-stamping them
+    exact = {}
+    for (k,) in rows:
+        exact[k] = exact.get(k, 0) + 1
+    cells = [0, 0, 0, 0]
+    for k, c in exact.items():
+        cells[int(hashlib.md5(f"cms0:{k}".encode()).hexdigest()[:15], 16) % 4] += c
+    false_candidates = [
+        k
+        for k, c in exact.items()
+        if c * 10 < 188
+        and cells[int(hashlib.md5(f"cms0:{k}".encode()).hexdigest()[:15], 16) % 4]
+        * 10
+        >= 188
+    ]
+    assert false_candidates  # the screen really over-admits at width 4...
+    got4 = {
+        r["key"]: r["cnt"]
+        for r in cms_heavy_hitters(df, "key", num=1, den=10, width=4, depth=1).collect()
+    }
+    assert got4 == expected  # ...and the exact verify kills every one
+    plan = _plan(cms_heavy_hitters(df, "key", num=1, den=10, width=16, depth=2))
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan  # literal probe, not a cell-table join
+    ex = plan.index("Exchange hashpartitioning(k__")
+    assert "least(" in plan[ex:]  # the screen filter sits below the exchange
+
+
+def test_vocab_coverage_semantics_and_plan(spark):
+    """Top-V vocabulary coverage from the bounded count-of-counts level
+    table: hand-computed values (including a tie straddling the V
+    boundary — coverage is tie-independent, the property the level
+    arithmetic rests on — and the oversized-V clamp), empty-stream
+    behavior, and a plan with no window/rank anywhere (the naive form is
+    a global row_number over the vocabulary; the oracle computes that
+    serial form, this plan must not)."""
+    from samu_ocr_extraction_poc_spark.operators.corpus import vocab_coverage
+
+    rows = (
+        [("a",)] * 10 + [("b",)] * 5 + [("c",)] * 5 + [("d",)] * 5 + [("e",)]
+    )
+    df = spark.createDataFrame(rows, "key string").repartition(5)
+    out = {
+        r["v"]: (r["covered"], r["total"], r["total_types"], r["cover_permille"])
+        for r in vocab_coverage(df, "key", sizes=(1, 2, 3, 4, 5, 100)).collect()
+    }
+    # total 26 occurrences, 5 types, levels {10:1, 5:3, 1:1}; V=2 and V=3
+    # land inside the three-way tie at count 5
+    assert out == {
+        1: (10, 26, 5, 384),
+        2: (15, 26, 5, 576),
+        3: (20, 26, 5, 769),
+        4: (25, 26, 5, 961),
+        5: (26, 26, 5, 1000),
+        100: (26, 26, 5, 1000),  # V > total_types clamps to full coverage
+    }
+    empty = spark.createDataFrame([], "key string")
+    assert vocab_coverage(empty, "key", sizes=(1, 10)).count() == 0
+    plan = _plan(vocab_coverage(df, "key", sizes=(1, 2)))
+    assert "Window" not in plan and "row_number" not in plan
+    # the only SinglePartition is the scalar totals over the bounded level
+    # table (the length_quantiles documented class) — never the vocabulary
+    assert plan.count("SinglePartition") <= 1
+
+
 def test_hist_quantile_semantics(spark):
     """Histogram sketch: bin edges and interpolated estimates match the
     hand-computed integer arithmetic (incl. top-bin clamping of
