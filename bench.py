@@ -103,6 +103,8 @@ HEADLINE = [
     "cms_word_counts",
     "heavy_hitters",
     "vocab_coverage",
+    "hashed_classify",
+    "alpha_mix",
     "length_quantiles",
     "source_length_quantiles",
     "ccnet_buckets",

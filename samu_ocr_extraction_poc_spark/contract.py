@@ -3652,6 +3652,89 @@ FROM c
 # Registry
 # ---------------------------------------------------------------------------
 
+def hashed_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed n-gram linear classifier inference
+    (operators/corpus.py:hashed_classify — Joulin et al. 2016, the
+    CCNet/LLaMA-pipeline quality-classifier architecture): unigram +
+    bigram features hashed into 4096 buckets, md5-derived integer
+    bucket weights, score = summed weights, label = strict score > 0.
+    The plan is completely NARROW (no explode, no join, no exchange of
+    any kind — classifier inference at 100 TB is one map stage on the
+    scan); integer arithmetic end to end, so the oracle replays every
+    value exactly."""
+    from .operators import corpus as CP
+
+    return CP.hashed_classify(_t(spark, sf_dir, "documents"))
+
+
+HASHED_CLASSIFY_SQL = """
+WITH hc0 AS (SELECT doc_id,
+                    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                                t -> length(t) > 0) AS w
+             FROM documents),
+hcf AS (SELECT doc_id,
+               list_concat(w, list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                             i -> w[i] || '_' || w[i+1])) AS f
+        FROM hc0),
+hcs AS (SELECT doc_id, CAST(len(f) AS BIGINT) AS n_feats,
+               CAST(coalesce(list_sum(list_transform(f, x ->
+                   (('0x' || substr(md5('hcw:' || CAST((('0x' || substr(md5('hc:' || x), 1, 8))::BIGINT % 4096) AS VARCHAR)), 1, 8))::BIGINT % 256) - 128
+               )), 0) AS BIGINT) AS score
+        FROM hcf)
+SELECT doc_id, n_feats, score,
+       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+FROM hcs
+"""
+
+
+def alpha_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (size^alpha, alpha=1/2) mixture sampling audit
+    (operators/corpus.py:alpha_mix — the GPT-3/Pile-style reweighting
+    that upsamples small sources): per-source keep rates proportional to
+    isqrt(tokens)/tokens against a 40%-of-corpus token budget, selection
+    via the deterministic md5 bucket filter. The source weight is the
+    EXACT integer sqrt (driver-side math.isqrt over the collected
+    bounded per-source table); the oracle recovers the same integer via
+    floor(sqrt) with a +/-1 correction, so the parity gate proves the
+    two isqrt formulations agree and no FP value crosses the gate."""
+    from .operators import corpus as CP
+
+    return CP.alpha_mix(_t(spark, sf_dir, "documents"))
+
+
+ALPHA_MIX_SQL = """
+WITH am0 AS (SELECT source, doc_id,
+                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS n_tok
+             FROM documents),
+ams AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM am0 GROUP BY source),
+amw0 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w0 FROM ams),
+amw AS (SELECT source, n_docs, n_tokens,
+               w0 + (CASE WHEN (w0 + 1) * (w0 + 1) <= n_tokens THEN 1 ELSE 0 END)
+                  - (CASE WHEN w0 * w0 > n_tokens THEN 1 ELSE 0 END) AS w
+        FROM amw0),
+amt AS (SELECT CAST(sum(w) AS BIGINT) AS wsum, CAST(sum(n_tokens) AS BIGINT) AS ttot FROM amw),
+amr AS (SELECT amw.source, amw.n_docs, amw.n_tokens, amw.w,
+               CASE WHEN amw.w > 0
+                    THEN least(1000000, (((amt.ttot * 400) // 1000) * amw.w * 1000000)
+                                        // (amt.wsum * amw.n_tokens))
+                    ELSE 0 END AS rate
+        FROM amw, amt),
+amk AS (SELECT am0.source, am0.n_tok,
+               CASE WHEN ('0x' || substr(md5(CAST(am0.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < amr.rate
+                    THEN 1 ELSE 0 END AS kept
+        FROM am0 JOIN amr ON amr.source = am0.source)
+SELECT amr.source, amr.n_docs, amr.n_tokens, amr.w AS weight,
+       CAST(amr.rate AS BIGINT) AS rate,
+       CAST(sum(amk.kept) AS BIGINT) AS n_kept,
+       CAST(sum(amk.kept * amk.n_tok) AS BIGINT) AS kept_tokens
+FROM amr JOIN amk ON amk.source = amr.source
+GROUP BY amr.source, amr.n_docs, amr.n_tokens, amr.w, amr.rate
+"""
+
+
 # ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
 # checks only the FIRST 50 entries of this dict (insertion order), so the
 # window below is a deliberate rotation, pinned by
@@ -3695,6 +3778,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_repetition": gopher_repetition_q,
     "heavy_hitters": heavy_hitters_q,
     "vocab_coverage": vocab_coverage_q,
+    "hashed_classify": hashed_classify_q,
+    "alpha_mix": alpha_mix_q,
     # --- (b') new in round 4, kept in-window per VERDICT r4 item 3
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
@@ -3728,8 +3813,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": chunk_documents_q,
     "stratified_sample": stratified_sample_q,
     "sample_documents": sample_documents_q,
-    "budget_sample": budget_sample_q,
-    "pii_redact": pii_redact_q,
     # ---------------------- position 51+ -------------------------------
     # r6-rotation head: entries cut by the 50-cap — displaced by the
     # round-5-new block, which takes priority (a new entry is
@@ -3743,7 +3826,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # family covered by pack_assignments staying in-window
     # (shuffle_order is never-checked and displaces it); CCNet segment
     # family via segment_dedup's r04 pass + ccnet_buckets, DSIR via
-    # dsir_select r04, BPE via bpe_train_long)
+    # dsir_select r04, BPE via bpe_train_long; budget_sample + pii_redact
+    # r03-green, displaced late in r5 by the never-checked hashed_classify
+    # + alpha_mix — alpha_mix is itself the mixture family's in-window
+    # representative (same token-budget/md5-gate semantics as
+    # budget_sample with the size^alpha reweighting on top)
+    "budget_sample": budget_sample_q,
+    "pii_redact": pii_redact_q,
     "quality_filter": quality_filter_q,
     "lm_surprise": lm_surprise_q,
     "pack_token_windows": pack_token_windows_q,
@@ -3849,6 +3938,8 @@ ORACLE_SQL: dict[str, str] = {
     "cms_word_counts": CMS_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
+    "hashed_classify": HASHED_CLASSIFY_SQL,
+    "alpha_mix": ALPHA_MIX_SQL,
     "length_quantiles": LENGTH_QUANTILES_SQL,
     "source_length_quantiles": SOURCE_LENGTH_QUANTILES_SQL,
     "ccnet_buckets": CCNET_BUCKETS_SQL,

@@ -1455,3 +1455,184 @@ def chunk_documents(
         F.size("chunk").cast("int").alias("n_tokens"),
         F.array_join("chunk", " ").alias("chunk_text"),
     )
+
+
+def hashed_classify(
+    df: DataFrame,
+    n_buckets: int = 4096,
+    seed: str = "hc",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style hashed bag-of-ngrams linear classifier INFERENCE
+    (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    Classification", arXiv:1607.01759 — the architecture behind the
+    CCNet / LLaMA-pipeline quality and language classifiers): every
+    word unigram and bigram is hashed into ``n_buckets`` via the
+    hashing trick, each bucket carries a fixed integer weight, and the
+    document score is the sum of its feature-bucket weights. Here the
+    weight table is itself md5-derived from the bucket id (a
+    deterministic stand-in for trained weights — the serving-time plan
+    shape is identical: with real weights the bucket->weight map is a
+    broadcast array literal, exactly the kmeans-centroid discipline),
+    so the whole op stays INTEGER arithmetic end to end.
+
+    Plan shape at scale: completely NARROW — tokenize, build features,
+    hash and fold the score per row; no explode, no join, no shuffle of
+    any kind. Classifier inference over 100 TB is embarrassingly
+    parallel and this plan is exactly that: one map stage on the scan
+    (the explode+groupBy formulations of the same op shuffle the
+    corpus's entire feature stream for no reason). Token and feature
+    arrays are let-bound (textfns.let_bound) — a direct reference
+    inside the fold lambda re-tokenizes per feature access, O(n^2)/row.
+
+    Returns (doc_id, n_feats, score, label): feature count, summed
+    weight (both BIGINT), and the strict ``score > 0`` decision as 0/1.
+    Empty documents score 0 with label 0.
+    """
+
+    def bucket_of(feat: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(seed + ":"), feat)), 1, 8), 16, 10
+            ).cast("bigint")
+            % n_buckets
+        )
+
+    def weight_of(feat: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(seed + "w:"), bucket_of(feat).cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 256
+        ) - 128
+
+    def over_feats(fs: Column) -> Column:
+        score = F.aggregate(
+            fs, F.lit(0).cast("bigint"), lambda acc, f: acc + weight_of(f)
+        )
+        return F.struct(
+            F.size(fs).cast("bigint").alias("n_feats"), score.alias("score")
+        )
+
+    def over_clean(ct: Column) -> Column:
+        # bigrams: zip the token array with itself shifted by one; the
+        # zip_with pad pairs the last token with NULL -> concat -> NULL,
+        # filtered out below
+        bi = F.zip_with(
+            ct,
+            F.slice(ct, 2, F.greatest(F.size(ct) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+        feats = F.concat(ct, F.filter(bi, lambda x: x.isNotNull()))
+        return let_bound(feats, over_feats)
+
+    def over_toks(toks: Column) -> Column:
+        return let_bound(F.filter(toks, lambda t: F.length(t) > 0), over_clean)
+
+    res = let_bound(tokens(normalized(F.col(text_col))), over_toks)
+    return (
+        df.withColumn("__hc", res)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col("__hc.n_feats").alias("n_feats"),
+            F.col("__hc.score").alias("score"),
+            F.when(F.col("__hc.score") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("label"),
+        )
+    )
+
+
+def alpha_mix(
+    df: DataFrame,
+    budget_permille: int = 400,
+    alpha_denom: int = 2,
+    denom: int = 1_000_000,
+    strat_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling audit: per-source keep rates
+    proportional to ``n_tokens^alpha / n_tokens`` with alpha = 1/2 (the
+    GPT-3 / Pile-style size^alpha reweighting that upsamples small
+    high-quality sources relative to raw proportions), targeting a total
+    token budget of ``budget_permille``/1000 of the corpus. The source
+    weight is the EXACT integer sqrt of its token count (driver-side
+    math.isqrt over the collected bounded per-source table — the
+    kmeans-centroid / cms_heavy_hitters collect-once discipline; the
+    DuckDB oracle recovers the same integer via floor(sqrt(x)) with a
+    +/-1 exactness correction, so no FP value ever crosses the gate);
+    rates are pure integer arithmetic: rate_s = min(denom,
+    budget * w_s * denom DIV (W * tok_s)) with budget = ttot *
+    budget_permille DIV 1000. Document selection is the deterministic
+    md5-bucket filter (strict <), so expected kept tokens per source
+    ~ budget * w_s / W.
+
+    Plan shape at scale: pass 1 is ONE partial-aggregable groupBy to
+    #sources rows, collected; pass 2 is one narrow projection (the rate
+    is a per-source literal CASE — no join) feeding a second
+    partial-aggregable groupBy to #sources rows. No window, no
+    broadcast, no corpus-sized shuffle. BIGINT headroom: the rate
+    numerator is budget * w * denom ~ tokens^1.5 * denom — at a real
+    10^14-token corpus drop ``denom`` to 10^3 or route the one
+    multiplication through DECIMAL(38,0).
+
+    Returns per-source (source, n_docs, n_tokens, weight, rate, n_kept,
+    kept_tokens). ``alpha_denom`` is fixed at 2 (isqrt); other alphas
+    need an integer k-th-root, same discipline.
+    """
+    import math
+
+    if alpha_denom != 2:
+        raise NotImplementedError("alpha is fixed at 1/2 (integer sqrt)")
+    base = df.select(
+        F.col(strat_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
+    )
+    per_src = {
+        r["source"]: (int(r["nd"]), int(r["nt"]))
+        for r in base.groupBy("source")
+        .agg(F.count("*").alias("nd"), F.sum("n_tok").alias("nt"))
+        .collect()
+    }
+    weights = {s: math.isqrt(nt) for s, (_, nt) in per_src.items()}
+    wsum = sum(weights.values())
+    ttot = sum(nt for _, nt in per_src.values())
+    budget = (ttot * budget_permille) // 1000
+    rates = {
+        s: min(denom, (budget * w * denom) // (wsum * per_src[s][1]))
+        if w > 0
+        else 0
+        for s, w in weights.items()
+    }
+    rate: Column = F.lit(0).cast("bigint")
+    weight: Column = F.lit(0).cast("bigint")
+    for s in sorted(per_src):
+        rate = F.when(F.col("source") == s, F.lit(rates[s])).otherwise(rate)
+        weight = F.when(F.col("source") == s, F.lit(weights[s])).otherwise(weight)
+    kept = _md5_bucket(F.col("doc_id"), 8, denom) < rate
+    return (
+        base.withColumn("__kept", kept)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.max(weight).cast("bigint").alias("weight"),
+            F.max(rate).cast("bigint").alias("rate"),
+            F.sum(F.when(F.col("__kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("__kept"), F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )

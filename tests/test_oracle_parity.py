@@ -148,9 +148,9 @@ def test_every_query_is_oracled_or_allowlisted():
 # (insertion order). This list IS the round-5 rotation decision — the
 # flagship extraction family, the r5-new entries (media_features,
 # bpe_train_long), the kept r4-new block, then the stalest evidence first:
-# the r02-only pair and 32 of the 35 r03-only entries (the three cut by
-# the cap — dedup_components, simhash, bpe_token_counts — have
-# same-family in-window coverage and head the r6 rotation; see the
+# the r02-only pair and the r03-only fill (the entries cut by the cap —
+# dedup_components, simhash, bpe_token_counts, budget_sample, pii_redact —
+# have same-family in-window coverage and head the r6 rotation; see the
 # ORDERING CONTRACT comment at contract.py QUERIES). Change it ONLY
 # together with the dict: the test below exists so adding a query can
 # never again silently push verification out of the gate window
@@ -163,6 +163,7 @@ DRIVER_WINDOW_50 = [
     "media_features", "bpe_train_long", "remove_shared_windows_screened",
     "cms_word_counts", "length_quantiles", "source_length_quantiles",
     "ccnet_buckets", "gopher_repetition", "heavy_hitters", "vocab_coverage",
+    "hashed_classify", "alpha_mix",
     "remove_shared_windows", "extract_order_check", "gopher_rules",
     "c4_rules", "url_dedup", "bloom_probe",
     "events_hourly", "user_sessions",
@@ -174,7 +175,7 @@ DRIVER_WINDOW_50 = [
     "contamination_check", "repetition_stats",
     "pack_assignments", "shuffle_order", "chunk_documents",
     "stratified_sample",
-    "sample_documents", "budget_sample", "pii_redact",
+    "sample_documents",
 ]
 
 

@@ -1726,6 +1726,110 @@ def test_vocab_coverage_semantics_and_plan(spark):
     assert plan.count("SinglePartition") <= 1
 
 
+def test_hashed_classify_semantics_and_plan(spark):
+    """fastText-style hashed linear classifier: score equals the
+    hand-replayed md5 bucket-weight sum over unigrams + bigrams (with
+    multiplicity), empty/single-token docs degrade cleanly, and the plan
+    is completely NARROW — classifier inference must never shuffle (the
+    explode+join formulation of the same op shuffles the whole feature
+    stream)."""
+    import hashlib
+
+    from samu_ocr_extraction_poc_spark.operators.corpus import hashed_classify
+
+    def w_of(feat: str) -> int:
+        b = int(hashlib.md5(f"hc:{feat}".encode()).hexdigest()[:8], 16) % 4096
+        return int(hashlib.md5(f"hcw:{b}".encode()).hexdigest()[:8], 16) % 256 - 128
+
+    def expect(text: str) -> tuple[int, int, int]:
+        toks = [t for t in __import__("re").sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ") if t]
+        feats = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        score = sum(w_of(f) for f in feats)
+        return len(feats), score, 1 if score > 0 else 0
+
+    docs = [
+        (1, "Hello, World: hello"),  # repeated unigram -> multiplicity counts
+        (2, ""),  # empty -> 0 feats, score 0, label 0
+        (3, "x"),  # single token -> no bigram
+        (4, "a  b"),  # double space collapsed by normalization
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score"], r["label"])
+        for r in hashed_classify(df).collect()
+    }
+    assert got == {i: expect(t) for i, t in docs}
+    assert got[2] == (0, 0, 0)
+    assert got[3][0] == 1  # one unigram, zero bigrams
+    plan = _plan(hashed_classify(df))
+    assert "Exchange" not in plan  # narrow end to end
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_alpha_mix_semantics_and_plan(spark):
+    """size^alpha mixture audit: exact-integer weights (isqrt incl. a
+    non-perfect-square), the rate formula with the clamp and the
+    zero-token source, kept counts equal the hand-replayed md5 gate, and
+    a plan with no join/window (rates are collected-literal CASEs; the
+    only exchange is the bounded per-source aggregation)."""
+    import hashlib
+
+    from samu_ocr_extraction_poc_spark.operators.corpus import alpha_mix
+
+    # src a: 16 tokens (w=4), src b: 100 (w=10), src c: 2 (w=1 — isqrt of
+    # a non-square), src d: one empty doc (0 tokens -> w=0, rate=0)
+    docs = []
+    did = 0
+    for src, sizes in [
+        ("a", [10, 6]),
+        ("b", [50, 50]),
+        ("c", [2]),
+        ("d", [0]),
+    ]:
+        for n in sizes:
+            docs.append((did, " ".join(f"t{i}" for i in range(n)), src))
+            did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {
+        r["source"]: (
+            r["n_docs"], r["n_tokens"], r["weight"], r["rate"],
+            r["n_kept"], r["kept_tokens"],
+        )
+        for r in alpha_mix(
+            df, budget_permille=400, strat_col="source"
+        ).collect()
+    }
+    # ttot=118, budget=47, wsum=15
+    exp_rate = {
+        "a": (47 * 4 * 1_000_000) // (15 * 16),
+        "b": (47 * 10 * 1_000_000) // (15 * 100),
+        "c": 1_000_000,  # 47*1e6/30 > 1e6 -> clamps: small source fully kept
+        "d": 0,
+    }
+    assert exp_rate["c"] == min(1_000_000, (47 * 1 * 1_000_000) // (15 * 2))
+    toks_of = {i: (len(t.split(" ")) if t else 0) for i, t, _ in docs}
+    kept = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+        < exp_rate[s]
+        for i, _, s in docs
+    }
+    for src, sizes in [("a", [10, 6]), ("b", [50, 50]), ("c", [2]), ("d", [0])]:
+        ids = [i for i, _, s in docs if s == src]
+        assert out[src] == (
+            len(sizes),
+            sum(sizes),
+            {"a": 4, "b": 10, "c": 1, "d": 0}[src],
+            exp_rate[src],
+            sum(1 for i in ids if kept[i]),
+            sum(toks_of[i] for i in ids if kept[i]),
+        ), src
+    plan = _plan(alpha_mix(df, strat_col="source"))
+    assert "Join" not in plan and "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_hist_quantile_semantics(spark):
     """Histogram sketch: bin edges and interpolated estimates match the
     hand-computed integer arithmetic (incl. top-bin clamping of
