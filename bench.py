@@ -105,6 +105,8 @@ HEADLINE = [
     "vocab_coverage",
     "hashed_classify",
     "alpha_mix",
+    "hll_distinct",
+    "hll_merge",
     "length_quantiles",
     "source_length_quantiles",
     "ccnet_buckets",

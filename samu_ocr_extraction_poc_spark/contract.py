@@ -3735,6 +3735,140 @@ GROUP BY amr.source, amr.n_docs, amr.n_tokens, amr.w, amr.rate
 """
 
 
+def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch over the corpus's word bigrams
+    (operators/sketch.py:hll_build/hll_estimate; Flajolet et al. 2007)
+    — the O(m)-memory distinct counter next to KMV's per-group k rows:
+    256 registers (p=8), 40-bit md5 hashes, rank via EXACT length(bin())
+    bit-length (never FP log2), raw estimate in staged integer
+    arithmetic with alpha as the rational 7213m/(10000m+10790). Output
+    carries the estimate, the EXACT distinct count (same hash domain via
+    hll_hash), and the signed error — honest sketch accuracy under the
+    gate (|err|/exact ~ 1.04/sqrt(256) = 6.5% expected). The scalar
+    read-off aggregates <= 257 sketch rows (the length_quantiles
+    allowed class); the only corpus-sized pass is the partial-aggregable
+    groupBy/max build."""
+    from .operators import corpus as CP
+    from .operators import sketch as SK
+
+    items = _t(spark, sf_dir, "documents").select(
+        F.explode(CP._kgrams(F.col("text"), 2)).alias("tok")
+    )
+    est = SK.hll_estimate(SK.hll_build(items, "tok"))
+    exact = items.select(SK.hll_hash(F.col("tok")).alias("h")).agg(
+        F.count_distinct("h").cast("bigint").alias("exact_distinct")
+    )
+    return est.crossJoin(exact).select(
+        "m",
+        "occupied",
+        "n_zero",
+        "z_scaled",
+        "est",
+        "exact_distinct",
+        (F.col("est") - F.col("exact_distinct")).cast("bigint").alias("err"),
+    )
+
+
+HLL_DISTINCT_SQL = """
+WITH hn AS (SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+hgt AS (SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                      i -> array_to_string(w[i:i+1], ' '))) AS tok FROM hn),
+hh AS (SELECT ('0x' || substr(md5('hll:' || tok), 1, 10))::BIGINT AS h FROM hgt),
+hb AS (SELECT h // 4294967296 AS bucket, h % 4294967296 AS wv FROM hh),
+hrr AS (SELECT bucket, CASE WHEN wv = 0 THEN 33 ELSE 33 - length(ltrim(bin(wv), '0')) END AS rho FROM hb),
+hreg AS (SELECT bucket, max(rho) AS r FROM hrr GROUP BY bucket),
+hagg AS (SELECT CAST(count(*) AS BIGINT) AS occupied,
+                CAST(coalesce(sum(1::BIGINT << CAST(33 - r AS INT)), 0) AS BIGINT) AS zsum
+         FROM hreg),
+hz AS (SELECT occupied, CAST(zsum + (256 - occupied) * (1::BIGINT << 33) AS BIGINT) AS z_scaled FROM hagg),
+hn1 AS (SELECT occupied, z_scaled, 562949953421312 // z_scaled AS num1 FROM hz),
+hex0 AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct FROM hh)
+SELECT CAST(256 AS BIGINT) AS m, occupied,
+       CAST(256 - occupied AS BIGINT) AS n_zero, z_scaled,
+       CAST((num1 // 2570790) * 1846528 + ((num1 % 2570790) * 1846528) // 2570790 AS BIGINT) AS est,
+       exact_distinct,
+       CAST((num1 // 2570790) * 1846528 + ((num1 % 2570790) * 1846528) // 2570790
+            - exact_distinct AS BIGINT) AS err
+FROM hn1, hex0
+"""
+
+
+def hll_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability under the gate (operators/sketch.py:hll_merge):
+    the corpus splits into two md5-parity halves, each half builds its
+    own register table, the merge is a per-bucket MAX — and the merged
+    table must equal the full-corpus build EXACTLY (max is associative/
+    commutative/idempotent, so sketch(A) ⊔ sketch(B) = sketch(A ∪ B) for
+    ANY partitioning — the property that makes per-shard sketches + a
+    tiny merge the 100 TB plan instead of one giant pass). Output is
+    (est_full, est_merged, n_register_diffs): the oracle replays the
+    split, both builds, the merge, and the full-outer register diff, so
+    parity proves merged == full cross-engine (n_register_diffs = 0 is
+    COMPUTED on both engines, never asserted)."""
+    from .operators import corpus as CP
+    from .operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    parity = CP._md5_bucket(F.col("doc_id"), 8, 2)
+
+    def items(d: DataFrame) -> DataFrame:
+        return d.select(F.explode(CP._kgrams(F.col("text"), 2)).alias("tok"))
+
+    merged = SK.hll_merge(
+        SK.hll_build(items(docs.where(parity == 0)), "tok"),
+        SK.hll_build(items(docs.where(parity == 1)), "tok"),
+    )
+    full = SK.hll_build(items(docs), "tok")
+    ef = SK.hll_estimate(full).select(F.col("est").alias("est_full"))
+    em = SK.hll_estimate(merged).select(F.col("est").alias("est_merged"))
+    mc = merged.where(F.col("bucket") >= 0).select(
+        "bucket", F.col("r").alias("rm")
+    )
+    fc = full.where(F.col("bucket") >= 0).select("bucket", F.col("r").alias("rf"))
+    diffs = (
+        mc.join(fc, "bucket", "full")
+        .where(
+            F.col("rm").isNull()
+            | F.col("rf").isNull()
+            | (F.col("rm") != F.col("rf"))
+        )
+        .agg(F.count("*").cast("bigint").alias("n_register_diffs"))
+    )
+    return ef.crossJoin(em).crossJoin(diffs)
+
+
+HLL_MERGE_SQL = """
+WITH hmd AS (SELECT text, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS half
+             FROM documents),
+hmn AS (SELECT half, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM hmd),
+hmt AS (SELECT half, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                            i -> array_to_string(w[i:i+1], ' '))) AS tok FROM hmn),
+hmh AS (SELECT half, ('0x' || substr(md5('hll:' || tok), 1, 10))::BIGINT AS h FROM hmt),
+hmb AS (SELECT half, h // 4294967296 AS bucket, h % 4294967296 AS wv FROM hmh),
+hmr AS (SELECT half, bucket,
+               CASE WHEN wv = 0 THEN 33 ELSE 33 - length(ltrim(bin(wv), '0')) END AS rho
+        FROM hmb),
+hhalf AS (SELECT half, bucket, max(rho) AS r FROM hmr GROUP BY half, bucket),
+hmerged AS (SELECT bucket, max(r) AS r FROM hhalf GROUP BY bucket),
+hfull AS (SELECT bucket, max(rho) AS r FROM hmr GROUP BY bucket),
+hdiff AS (SELECT CAST(count(*) AS BIGINT) AS n_register_diffs
+          FROM hmerged m FULL OUTER JOIN hfull f USING (bucket)
+          WHERE m.r IS NULL OR f.r IS NULL OR m.r <> f.r),
+hef AS (SELECT CAST(count(*) AS BIGINT) AS occupied,
+               CAST(coalesce(sum(1::BIGINT << CAST(33 - r AS INT)), 0) AS BIGINT) AS zsum
+        FROM hfull),
+hefz AS (SELECT 562949953421312 // (zsum + (256 - occupied) * (1::BIGINT << 33)) AS num1 FROM hef),
+hem AS (SELECT CAST(count(*) AS BIGINT) AS occupied,
+               CAST(coalesce(sum(1::BIGINT << CAST(33 - r AS INT)), 0) AS BIGINT) AS zsum
+        FROM hmerged),
+hemz AS (SELECT 562949953421312 // (zsum + (256 - occupied) * (1::BIGINT << 33)) AS num1 FROM hem)
+SELECT CAST((hefz.num1 // 2570790) * 1846528 + ((hefz.num1 % 2570790) * 1846528) // 2570790 AS BIGINT) AS est_full,
+       CAST((hemz.num1 // 2570790) * 1846528 + ((hemz.num1 % 2570790) * 1846528) // 2570790 AS BIGINT) AS est_merged,
+       hdiff.n_register_diffs
+FROM hefz, hemz, hdiff
+"""
+
+
 # ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
 # checks only the FIRST 50 entries of this dict (insertion order), so the
 # window below is a deliberate rotation, pinned by
@@ -3780,6 +3914,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": vocab_coverage_q,
     "hashed_classify": hashed_classify_q,
     "alpha_mix": alpha_mix_q,
+    "hll_distinct": hll_distinct_q,
+    "hll_merge": hll_merge_q,
     # --- (b') new in round 4, kept in-window per VERDICT r4 item 3
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
@@ -3811,8 +3947,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_assignments": pack_assignments_q,
     "shuffle_order": shuffle_order_q,
     "chunk_documents": chunk_documents_q,
-    "stratified_sample": stratified_sample_q,
-    "sample_documents": sample_documents_q,
     # ---------------------- position 51+ -------------------------------
     # r6-rotation head: entries cut by the 50-cap — displaced by the
     # round-5-new block, which takes priority (a new entry is
@@ -3830,7 +3964,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r03-green, displaced late in r5 by the never-checked hashed_classify
     # + alpha_mix — alpha_mix is itself the mixture family's in-window
     # representative (same token-budget/md5-gate semantics as
-    # budget_sample with the size^alpha reweighting on top)
+    # budget_sample with the size^alpha reweighting on top);
+    # stratified_sample + sample_documents r03-green, displaced by the
+    # never-checked hll_distinct + hll_merge — the sampling family stays
+    # in-window via sample_exact_n (r04) and alpha_mix
+    "stratified_sample": stratified_sample_q,
+    "sample_documents": sample_documents_q,
     "budget_sample": budget_sample_q,
     "pii_redact": pii_redact_q,
     "quality_filter": quality_filter_q,
@@ -3940,6 +4079,8 @@ ORACLE_SQL: dict[str, str] = {
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "hashed_classify": HASHED_CLASSIFY_SQL,
     "alpha_mix": ALPHA_MIX_SQL,
+    "hll_distinct": HLL_DISTINCT_SQL,
+    "hll_merge": HLL_MERGE_SQL,
     "length_quantiles": LENGTH_QUANTILES_SQL,
     "source_length_quantiles": SOURCE_LENGTH_QUANTILES_SQL,
     "ccnet_buckets": CCNET_BUCKETS_SQL,

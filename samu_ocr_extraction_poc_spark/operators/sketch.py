@@ -16,7 +16,7 @@ partitionings — DuckDB replays it with the same md5 arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -733,6 +733,201 @@ def grouped_quantiles(
             "bin_hi",
         )
         .withColumnRenamed("g__", group_col)
+    )
+
+
+# HLL meta sentinels: bucket is the register index (real rows bucket >= 0),
+# the separate-rows parameter handshake shared with Bloom/CMS/hist above.
+_HLL_META_P = -1
+_HLL_META_W = -2
+
+
+def hll_hash(col: Column, p: int = 8, w_bits: int = 32, prefix: str = "hll:") -> Column:
+    """The HLL item hash: the first (p + w_bits)/4 hex chars of md5 as a
+    BIGINT — identical on DuckDB via ('0x' || substr(md5(prefix || x),
+    1, n_hex))::BIGINT. Exposed so callers computing EXACT distinct
+    counts next to the sketch (the hll_distinct contract entry) hash the
+    same domain the sketch saw."""
+    n_hex = (p + w_bits) // 4
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, n_hex), 16, 10
+    ).cast("bigint")
+
+
+def _hll_check_params(p: int, w_bits: int) -> None:
+    if (p + w_bits) % 4 != 0 or p + w_bits > 56:
+        raise ValueError("p + w_bits must be a multiple of 4 and <= 56 (BIGINT md5 slice)")
+    if not 7 <= p <= 14:
+        raise ValueError("p must be in [7, 14] (alpha rational assumes m >= 128)")
+    # the estimate's staged integer arithmetic needs m^2 * 2^(w_bits+1)
+    # and num1 * 7213 * m inside BIGINT (see hll_estimate)
+    if 2 * p + w_bits + 1 > 62:
+        raise ValueError("2p + w_bits + 1 must be <= 62 (estimate overflow headroom)")
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str = "key",
+    p: int = 8,
+    w_bits: int = 32,
+) -> DataFrame:
+    """Distributed HyperLogLog BUILD (Flajolet et al. 2007) — the
+    register-table form of the family's DISTINCT-COUNT sketch. Spark's
+    own `approx_count_distinct` is HLL++ but engine-specific (its
+    registers and bias tables don't replay on DuckDB); this build is
+    pure md5 integer arithmetic, so every register — and therefore the
+    estimate, including its error — is bit-identical cross-engine (the
+    KMV determinism contract, with HLL's O(m) memory instead of KMV's
+    per-group k rows, and mergeability by plain MAX).
+
+    Item hash = first (p + w_bits)/4 md5 hex chars as BIGINT; bucket =
+    top p bits (shiftright), w = low w_bits; rank rho = w_bits -
+    bit_length(w) + 1 (leading-zero count + 1), with rho = w_bits + 1
+    for w = 0. bit_length is EXACT via length(bin(w)) — never FP log2,
+    which rounds 2^53 - 1 up and misbins (the hist clamp-first lesson's
+    FP sibling). Register = max(rho) per bucket: ONE partial-aggregable
+    groupBy/max to <= 2^p rows regardless of corpus size — duplicates
+    never shuffle past the map side, which is the whole 100 TB story.
+    Mergeable: union -> groupBy max is EXACTLY the sketch of the
+    concatenated streams (hll_merge). Stored as (bucket, r) rows plus
+    meta rows bucket=-1 (p) / bucket=-2 (w_bits), the separate-rows
+    handshake."""
+    _hll_check_params(p, w_bits)
+    h = hll_hash(F.col(key_col), p, w_bits)
+    rho = F.expr(
+        f"CASE WHEN w__ = 0 THEN {w_bits + 1} "
+        f"ELSE {w_bits} - length(bin(w__)) + 1 END"
+    )
+    cells = (
+        df.select(h.alias("h__"))
+        .select(
+            F.shiftright(F.col("h__"), w_bits).alias("bucket"),
+            (F.col("h__") % F.lit(1 << w_bits)).alias("w__"),
+        )
+        .select("bucket", rho.cast("bigint").alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    meta = df.sparkSession.createDataFrame(
+        [(_HLL_META_P, p), (_HLL_META_W, w_bits)], "bucket bigint, r bigint"
+    )
+    return cells.unionByName(meta)
+
+
+def _hll_handshake(
+    reg: DataFrame, p: int, w_bits: int, what: str, eager: bool = True
+) -> DataFrame:
+    """localCheckpoint + meta validation (the bloom_probe discipline,
+    including its eager=False opt-out)."""
+    if eager:
+        reg = reg.localCheckpoint(eager=True)
+    meta = {r["bucket"]: r["r"] for r in reg.where(F.col("bucket") < 0).collect()}
+    found = (meta.get(_HLL_META_P), meta.get(_HLL_META_W))
+    if found != (p, w_bits):
+        raise ValueError(
+            f"hll meta mismatch on {what}: expected (p, w_bits)={(p, w_bits)}, "
+            f"sketch carries {found} — build and read must use identical parameters"
+        )
+    return reg
+
+
+def hll_merge(
+    a: DataFrame,
+    b: DataFrame,
+    p: int = 8,
+    w_bits: int = 32,
+    eager: bool = True,
+) -> DataFrame:
+    """Merge two :func:`hll_build` sketches: per-bucket MAX of the
+    register rows — exactly the sketch of the concatenated input
+    streams (max is associative/commutative/idempotent, so any merge
+    tree, any partitioning, any duplication gives the identical table;
+    the property the hll_merge contract entry proves cross-engine).
+    Meta handshake on BOTH inputs first; meta rows carried once.
+    ``eager=False`` skips the handshake checkpoints (the bloom_probe
+    convention)."""
+    a = _hll_handshake(a, p, w_bits, "left merge input", eager)
+    b = _hll_handshake(b, p, w_bits, "right merge input", eager)
+    cells = (
+        a.where(F.col("bucket") >= 0)
+        .unionByName(b.where(F.col("bucket") >= 0))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    return cells.unionByName(a.where(F.col("bucket") < 0))
+
+
+def hll_estimate(
+    reg: DataFrame,
+    p: int = 8,
+    w_bits: int = 32,
+    eager: bool = True,
+) -> DataFrame:
+    """Raw HLL estimate read-off, fully relational and fully INTEGER —
+    one row (m, occupied, n_zero, z_scaled, est):
+
+    - z_scaled = sum over all m registers of 2^(C - M_j) with
+      C = w_bits + 1 (empty registers contribute 2^C), i.e. the HLL
+      harmonic-mean denominator Z scaled by the exact power 2^C so it
+      stays BIGINT (m * 2^C <= 2^(p + w_bits + 1) < 2^63 by the build's
+      parameter guard);
+    - est = floor(alpha_m * m^2 * 2^C / z_scaled) computed as staged
+      integer arithmetic: num1 = (m^2 * 2^C) DIV z_scaled, then the
+      exact split-multiply floor((num1 * 7213 * m) / (10000 * m +
+      10790)) via the identity floor(a*c/d) = (a DIV d)*c +
+      ((a % d)*c) DIV d — alpha_m = 0.7213/(1 + 1.079/m) expressed as
+      the rational 7213*m / (10000*m + 10790), so NO float ever exists
+      and DuckDB replays every digit;
+    - the small-range (linear-counting) branch m*ln(m/V) is
+      deliberately NOT applied — ln is FP and engine-specific; n_zero
+      is emitted so callers see when the raw estimate sits in that
+      regime (est ~ 0.72*m on a near-empty stream is the documented
+      raw-HLL behavior, not a bug).
+
+    The scalar agg runs over <= m register rows — the length_quantiles
+    allowed-SinglePartition class (a 1-row total over a bounded sketch,
+    never over corpus-sized data). ``eager=False`` skips the handshake
+    checkpoint."""
+    reg = _hll_handshake(reg, p, w_bits, "estimate read", eager)
+    m = 1 << p
+    c_exp = w_bits + 1
+    alpha_num = 7213 * m
+    alpha_den = 10000 * m + 10790
+    cells = reg.where(F.col("bucket") >= 0)
+    agg = cells.agg(
+        F.count("*").cast("bigint").alias("occupied"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({c_exp} - r AS INT))")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("zsum"),
+    )
+    z = (F.col("zsum") + (F.lit(m) - F.col("occupied")) * F.lit(1 << c_exp)).cast(
+        "bigint"
+    )
+    return (
+        agg.select(
+            F.lit(m).cast("bigint").alias("m"),
+            "occupied",
+            (F.lit(m) - F.col("occupied")).cast("bigint").alias("n_zero"),
+            z.alias("z_scaled"),
+        )
+        .withColumn(
+            "num1", F.expr(f"CAST({(m * m) * (1 << c_exp)} AS BIGINT) DIV z_scaled")
+        )
+        .select(
+            "m",
+            "occupied",
+            "n_zero",
+            "z_scaled",
+            F.expr(
+                f"(num1 DIV {alpha_den}) * {alpha_num} + "
+                f"((num1 % {alpha_den}) * {alpha_num}) DIV {alpha_den}"
+            )
+            .cast("bigint")
+            .alias("est"),
+        )
     )
 
 

@@ -47,7 +47,7 @@ DOC_QUERIES = [
     "remove_shared_windows_screened", "bpe_train_long", "cms_word_counts",
     "length_quantiles", "source_length_quantiles", "ccnet_buckets",
     "gopher_repetition", "shuffle_order", "heavy_hitters", "vocab_coverage",
-    "hashed_classify", "alpha_mix",
+    "hashed_classify", "alpha_mix", "hll_distinct", "hll_merge",
 ]
 
 

@@ -149,7 +149,8 @@ def test_every_query_is_oracled_or_allowlisted():
 # flagship extraction family, the r5-new entries (media_features,
 # bpe_train_long), the kept r4-new block, then the stalest evidence first:
 # the r02-only pair and the r03-only fill (the entries cut by the cap —
-# dedup_components, simhash, bpe_token_counts, budget_sample, pii_redact —
+# dedup_components, simhash, bpe_token_counts, budget_sample, pii_redact,
+# stratified_sample, sample_documents —
 # have same-family in-window coverage and head the r6 rotation; see the
 # ORDERING CONTRACT comment at contract.py QUERIES). Change it ONLY
 # together with the dict: the test below exists so adding a query can
@@ -163,7 +164,7 @@ DRIVER_WINDOW_50 = [
     "media_features", "bpe_train_long", "remove_shared_windows_screened",
     "cms_word_counts", "length_quantiles", "source_length_quantiles",
     "ccnet_buckets", "gopher_repetition", "heavy_hitters", "vocab_coverage",
-    "hashed_classify", "alpha_mix",
+    "hashed_classify", "alpha_mix", "hll_distinct", "hll_merge",
     "remove_shared_windows", "extract_order_check", "gopher_rules",
     "c4_rules", "url_dedup", "bloom_probe",
     "events_hourly", "user_sessions",
@@ -174,8 +175,6 @@ DRIVER_WINDOW_50 = [
     "token_stats", "lang_id_heuristic", "shared_window_pairs",
     "contamination_check", "repetition_stats",
     "pack_assignments", "shuffle_order", "chunk_documents",
-    "stratified_sample",
-    "sample_documents",
 ]
 
 

@@ -2796,3 +2796,78 @@ def test_fp_entries_invariant_to_shuffle_partition_count(spark):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     for n in names:
         assert a[n] == b[n], f"{n}: output depends on shuffle partition count"
+
+
+def test_hll_semantics_and_plan(spark):
+    """HyperLogLog sketch: registers replay a pure-Python md5/bit-length
+    reference exactly (the determinism contract behind the DuckDB
+    oracle); the raw estimate lands within 3 standard errors
+    (3 * 1.04/sqrt(m)) of the true distinct count on a 5k-item stream;
+    duplicates never change a register (max-idempotence); merged halves
+    equal the full build register-for-register; parameter-mismatched
+    reads refuse (the meta handshake); and the BUILD plan shuffles only
+    the <= m partial registers — the exchange is hash-partitioned on
+    bucket, never SinglePartition (the corpus-sized pass stays
+    partial-aggregable map-side)."""
+    import hashlib
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from samu_ocr_extraction_poc_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_hash,
+        hll_merge,
+    )
+
+    items = [f"item-{i}" for i in range(5000)]
+    df = spark.createDataFrame([(x,) for x in items * 2], "key string")
+
+    reg = hll_build(df, "key")
+    got = {r["bucket"]: r["r"] for r in reg.where("bucket >= 0").collect()}
+
+    # pure-Python replay of the documented md5/bit-length register rule
+    want: dict[int, int] = {}
+    for x in items:
+        h = int(hashlib.md5(("hll:" + x).encode()).hexdigest()[:10], 16)
+        b, w = h >> 32, h & 0xFFFFFFFF
+        rho = 33 - w.bit_length() if w else 33
+        want[b] = max(want.get(b, 0), rho)
+    assert got == want
+
+    est = hll_estimate(reg).collect()[0]
+    assert est["m"] == 256
+    assert est["occupied"] + est["n_zero"] == 256
+    # 3 sigma of the HLL standard error 1.04/sqrt(256) = 6.5%
+    assert abs(est["est"] - 5000) <= 3 * 0.065 * 5000
+
+    # duplicates are free: the single-copy stream gives the same registers
+    reg1 = hll_build(spark.createDataFrame([(x,) for x in items], "key string"), "key")
+    assert {r["bucket"]: r["r"] for r in reg1.where("bucket >= 0").collect()} == want
+
+    # merge of disjoint halves == full build, register for register
+    d0 = df.where(F.crc32("key") % 2 == 0)
+    d1 = df.where(F.crc32("key") % 2 == 1)
+    merged = hll_merge(hll_build(d0, "key"), hll_build(d1, "key"))
+    assert {r["bucket"]: r["r"] for r in merged.where("bucket >= 0").collect()} == want
+
+    # handshakes refuse mismatched parameters
+    with _pt.raises(ValueError, match="hll meta mismatch"):
+        hll_estimate(reg, p=9, w_bits=28).collect()
+    with _pt.raises(ValueError, match="hll meta mismatch"):
+        hll_merge(reg, hll_build(d1, "key", p=9, w_bits=31))
+    with _pt.raises(ValueError, match="p \\+ w_bits"):
+        hll_build(df, "key", p=8, w_bits=33)
+    with _pt.raises(ValueError, match="headroom"):
+        hll_build(df, "key", p=14, w_bits=38)
+
+    # exact-distinct companion hashes the same domain the sketch saw
+    n_exact = df.select(hll_hash(F.col("key")).alias("h")).distinct().count()
+    assert n_exact == 5000
+
+    # plan: the only corpus-sized stage ends at a partial agg; the
+    # exchange carries hashpartitioning(bucket), never SinglePartition
+    plan = reg.where("bucket >= 0")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" in plan and "bucket" in plan
+    assert "SinglePartition" not in plan
