@@ -107,6 +107,7 @@ HEADLINE = [
     "alpha_mix",
     "hll_distinct",
     "hll_merge",
+    "phrase_search",
     "length_quantiles",
     "source_length_quantiles",
     "ccnet_buckets",

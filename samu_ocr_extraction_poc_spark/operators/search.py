@@ -13,7 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfns import normalized, tokens
+from pyspark.sql import Column
+
+from ..functions.textfns import let_bound, normalized, tokens
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -130,4 +132,144 @@ def bm25_topk(
         .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.score").alias("score"))
         .agg((F.count(F.col("b.doc_id")) + 1).cast("int").alias("rank"))
         .select("rank", "doc_id", "score")
+    )
+
+
+def filtered_tokens(text_col: Column) -> Column:
+    """Normalized word tokens with empty pseudo-tokens removed — the
+    token array EVERY phrase-search surface below must share (index
+    build, narrow matcher, k-gram derivation): a single side filtering
+    empties would shift positions and silently miss adjacencies (the
+    gopher empty-token advice item, applied at position-sensitivity
+    stakes). DuckDB replica: list_filter(string_split(trim(
+    regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g')), ' '),
+    t -> length(t) > 0)."""
+    return F.filter(tokens(normalized(text_col)), lambda t: F.length(t) > 0)
+
+
+def filtered_kgrams(text_col: Column, k: int) -> Column:
+    """Word k-grams over :func:`filtered_tokens` WITH multiplicity —
+    corpus._kgrams' shape on the empty-filtered array (position parity
+    with the phrase index). Token array let-bound; sequence guarded to
+    empty for n < k (the descending-sequence trap)."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+        return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+    return let_bound(filtered_tokens(text_col), body)
+
+
+def positional_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted index: (term, doc_id, pos) rows, pos 1-based
+    over :func:`filtered_tokens` — the structure phrase/proximity
+    queries probe instead of re-scanning text. One narrow
+    posexplode-and-project pass; no shuffle (writers wanting the
+    build-once/probe-many amortization persist it partitioned by a term
+    bucket exactly like dedup.build_band_index — per-term filters then
+    partition-prune, the same discipline; an inline frame serves the
+    single-query case below).
+
+    Postings are unique per (term, doc_id, pos) by construction (one row
+    per token occurrence), which is what makes the adjacency equi-joins
+    in :func:`phrase_query` multiplicity-exact."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(filtered_tokens(F.col(text_col))).alias("pos0", "term"),
+        )
+        .select(
+            "term",
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        )
+    )
+
+
+def phrase_query(index: DataFrame, terms: list[str]) -> DataFrame:
+    """EXACT phrase search over a :func:`positional_index`: documents
+    containing the terms CONSECUTIVELY, with match multiplicity and the
+    first match position — the decontamination / targeted-audit query
+    BM25's bag-of-words scoring can't answer (bm25 finds co-occurrence;
+    this finds the quoted string).
+
+    Plan shape at scale: each term selects only ITS postings from the
+    index (with a term-bucket-partitioned persisted index these are
+    partition-pruned reads, the band-index discipline), then k-1
+    adjacency equi-joins on (doc_id, pos - offset) — the shuffle carries
+    only the PHRASE TERMS' postings, never the corpus; selectivity
+    compounds left-to-right so join i+1's input is already the i-term
+    phrase's occurrence list. Overlapping matches count separately
+    ("a a a" has two "a a" starts — both engines agree by construction).
+
+    Returns (doc_id, n_matches, first_pos), matching documents only.
+    """
+    if not terms:
+        raise ValueError("phrase_query needs at least one term")
+    base = index.where(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(terms[1:], 1):
+        nxt = index.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        base = base.join(nxt, ["doc_id", "p0"])
+    return base.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.min("p0").cast("bigint").alias("first_pos"),
+    )
+
+
+def phrase_match_counts(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Row-local phrase matcher — the NARROW formulation of
+    :func:`phrase_query` for when the corpus is already being scanned
+    anyway (a curation pass tagging documents by quoted string needs no
+    index and no shuffle: one HOF filter over the token array per row).
+    Same tokenization, same 1-based positions, same overlap semantics —
+    tests pin it equal to the indexed path, which is exactly the
+    index's correctness argument. Returns (doc_id, n_matches,
+    first_pos), matching documents only."""
+    if not terms:
+        raise ValueError("phrase_match_counts needs at least one term")
+    k = len(terms)
+    arr = F.array(*[F.lit(t) for t in terms])
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.filter(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.forall(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda j: F.element_at(toks, (i + j).cast("int"))
+                == F.element_at(arr, (j + 1).cast("int")),
+            ),
+        )
+        return F.when(n >= k, starts).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            let_bound(filtered_tokens(F.col(text_col)), body).alias("st"),
+        )
+        .where(F.size("st") > 0)
+        .select(
+            "doc_id",
+            F.size("st").cast("bigint").alias("n_matches"),
+            F.element_at("st", 1).cast("bigint").alias("first_pos"),
+        )
     )

@@ -2871,3 +2871,60 @@ def test_hll_semantics_and_plan(spark):
     plan = reg.where("bucket >= 0")._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" in plan and "bucket" in plan
     assert "SinglePartition" not in plan
+
+
+def test_phrase_search_semantics_and_plan(spark):
+    """Exact phrase search: the indexed adjacency-join path and the
+    narrow row-local HOF matcher must agree EXACTLY — multiplicity,
+    first positions, overlap semantics ("a a a a" holds three "a a"
+    starts), punctuation-normalized tokens, empty docs — which is the
+    positional index's correctness argument; empty-phrase calls refuse;
+    and the narrow matcher's plan has NO exchange of any kind (a
+    curation pass tagging by quoted string must stay one map stage on
+    the scan)."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from samu_ocr_extraction_poc_spark.operators.search import (
+        phrase_match_counts,
+        phrase_query,
+        positional_index,
+    )
+
+    rows = [
+        (1, "The quick brown fox jumps over the quick brown dog"),
+        (2, "quick... BROWN!"),
+        (3, "a a a a"),
+        (4, ""),
+        (5, "brown quick"),
+        (6, "quick brownie"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = positional_index(df)
+
+    for terms in (["quick", "brown"], ["a", "a"], ["fox"], ["zz", "yy"]):
+        via_idx = sorted(map(tuple, phrase_query(idx, terms).collect()))
+        via_hof = sorted(map(tuple, phrase_match_counts(df, terms).collect()))
+        assert via_idx == via_hof, terms
+
+    # pinned values: overlaps count, normalization folds case/punct,
+    # "brownie" does not match "brown" (token-exact, not substring)
+    got = dict(
+        (r["doc_id"], (r["n_matches"], r["first_pos"]))
+        for r in phrase_query(idx, ["quick", "brown"]).collect()
+    )
+    assert got == {1: (2, 2), 2: (1, 1)}
+    assert phrase_query(idx, ["a", "a"]).collect()[0]["n_matches"] == 3
+
+    with _pt.raises(ValueError):
+        phrase_query(idx, [])
+    with _pt.raises(ValueError):
+        phrase_match_counts(df, [])
+
+    plan = (
+        phrase_match_counts(df, ["quick", "brown"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
