@@ -108,6 +108,8 @@ HEADLINE = [
     "hll_distinct",
     "hll_merge",
     "phrase_search",
+    "asof_join",
+    "range_join",
     "length_quantiles",
     "source_length_quantiles",
     "ccnet_buckets",

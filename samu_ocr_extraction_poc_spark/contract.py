@@ -3926,6 +3926,121 @@ FROM psm GROUP BY doc_id, g
 """
 
 
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/temporal.py:asof_join): every
+    purchase event matched to the user's most recent prior-or-equal
+    view — the attribution query Spark's DataFrame API has no operator
+    for, and whose naive window formulation puts a hot user's full
+    history into one partition. The distributed form is equi-joins on
+    (user, day-bucket) + a carry window over DISTINCT BUCKETS only; the
+    oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the parity gate proves
+    the two-phase bucketed formulation equals the serial definition
+    (the shuffle_order proof shape). All integer microseconds; the view
+    side is pre-deduped to one row per (user, t) by max event_id so the
+    tie-break is engine-independent. Unmatched purchases survive with
+    NULLs (left-outer semantics)."""
+    from .operators import temporal as TP
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t"
+    )
+    right = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "t")
+        .agg(F.max("event_id").cast("bigint").alias("view_id"))
+    )
+    out = TP.asof_join(left, right, key_col="user_id", time_col="t")
+    return out.select(
+        "event_id",
+        "user_id",
+        "t",
+        "matched_t",
+        F.col("matched_view_id").cast("bigint").alias("matched_view_id"),
+        (F.col("t") - F.col("matched_t")).cast("bigint").alias("gap_us"),
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH ape AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+ave AS (SELECT user_id, epoch_us(ts) AS t, CAST(max(event_id) AS BIGINT) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts))
+SELECT ape.event_id, ape.user_id, ape.t,
+       ave.t AS matched_t, ave.view_id AS matched_view_id,
+       CAST(ape.t - ave.t AS BIGINT) AS gap_us
+FROM ape ASOF LEFT JOIN ave ON ape.user_id = ave.user_id AND ape.t >= ave.t
+"""
+
+
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join (operators/temporal.py:range_join): every
+    signup opens a 36-hour attribution window; clicks landing inside a
+    window by the same user attribute to it. The naive BETWEEN join
+    compiles to BroadcastNestedLoopJoin — quadratic in key frequency;
+    here intervals replicate to their <= 3 overlapped day-buckets
+    (max_len_us enforces the replication bound the cost argument rests
+    on) and the match is an equi-join on (user, bucket) + the residual
+    BETWEEN filter; a pair meets in exactly one bucket, so no dedup
+    pass exists. Per-window roll-up in exact integers (click value in
+    cents: round(value*100) is identical cross-engine for positive
+    2-decimal doubles). Windows with zero clicks are absent (inner
+    semantics, both engines)."""
+    from .operators import temporal as TP
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    intervals = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("t").alias("lo"),
+        (F.col("t") + F.lit(129_600_000_000)).alias("hi"),
+    )
+    points = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "t", "cents"
+    )
+    pairs = TP.range_join(
+        points,
+        intervals,
+        key_col="user_id",
+        time_col="t",
+        lo_col="lo",
+        hi_col="hi",
+        max_len_us=2 * TP.DAY_US,
+    )
+    return pairs.groupBy("signup_id", "user_id").agg(
+        F.count("*").cast("bigint").alias("n_clicks"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.min("click_id").cast("bigint").alias("first_click_id"),
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH rse AS (SELECT event_id AS signup_id, user_id, epoch_us(ts) AS lo,
+                    epoch_us(ts) + 129600000000 AS hi
+             FROM events WHERE event_type = 'signup'),
+rce AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'click')
+SELECT rse.signup_id, rse.user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(rce.cents) AS BIGINT) AS sum_cents,
+       CAST(min(rce.event_id) AS BIGINT) AS first_click_id
+FROM rse JOIN rce ON rce.user_id = rse.user_id AND rce.t BETWEEN rse.lo AND rse.hi
+GROUP BY rse.signup_id, rse.user_id
+"""
+
+
 # ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
 # checks only the FIRST 50 entries of this dict (insertion order), so the
 # window below is a deliberate rotation, pinned by
@@ -3974,6 +4089,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": hll_distinct_q,
     "hll_merge": hll_merge_q,
     "phrase_search": phrase_search_q,
+    "asof_join": asof_join_q,
+    "range_join": range_join_q,
     # --- (b') new in round 4, kept in-window per VERDICT r4 item 3
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
@@ -3985,8 +4102,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": events_hourly,
     "user_sessions": user_sessions,
     # --- (d) r03-only block (last driver-checked r03), oldest-first fill
-    "rollup_revenue": rollup_revenue,
-    "pivot_status_by_segment": pivot_status_by_segment,
     "running_customer_revenue": running_customer_revenue,
     "doc_digests": doc_digests,
     "money_normalize": money_normalize,
@@ -4026,7 +4141,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never-checked hll_distinct + hll_merge — the sampling family stays
     # in-window via sample_exact_n (r04) and alpha_mix; chunk_documents
     # r03-green, displaced by the never-checked phrase_search — the
-    # chunk/pack family stays in-window via pack_assignments
+    # chunk/pack family stays in-window via pack_assignments;
+    # rollup_revenue + pivot_status_by_segment r03-green, displaced by
+    # the never-checked asof_join + range_join — the general-agg family
+    # stays in-window via q1_pricing_summary
+    "rollup_revenue": rollup_revenue,
+    "pivot_status_by_segment": pivot_status_by_segment,
     "chunk_documents": chunk_documents_q,
     "stratified_sample": stratified_sample_q,
     "sample_documents": sample_documents_q,
@@ -4142,6 +4262,8 @@ ORACLE_SQL: dict[str, str] = {
     "hll_distinct": HLL_DISTINCT_SQL,
     "hll_merge": HLL_MERGE_SQL,
     "phrase_search": PHRASE_SEARCH_SQL,
+    "asof_join": ASOF_JOIN_SQL,
+    "range_join": RANGE_JOIN_SQL,
     "length_quantiles": LENGTH_QUANTILES_SQL,
     "source_length_quantiles": SOURCE_LENGTH_QUANTILES_SQL,
     "ccnet_buckets": CCNET_BUCKETS_SQL,

@@ -2928,3 +2928,94 @@ def test_phrase_search_semantics_and_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_asof_join_semantics(spark):
+    """Bucketed as-of join vs a brute-force reference: inclusive match,
+    carry across EMPTY buckets (the forward-fold correctness case),
+    in-bucket vs carried candidate arbitration, unmatched-left NULLs,
+    and the deterministic same-timestamp tie-break (largest payload
+    struct). Bucket width 100 so every cross-bucket path exercises."""
+    from pyspark.sql import functions as F
+
+    from samu_ocr_extraction_poc_spark.operators.temporal import asof_join
+
+    # right rows: (key, t, rid); includes a (k1, 250) duplicate-t pair
+    right_rows = [
+        ("k1", 100, 1), ("k1", 250, 2), ("k1", 250, 3), ("k1", 900, 4),
+        ("k2", 500, 5),
+    ]
+    left_rows = [
+        ("k1", 50, 10),   # before everything -> NULL
+        ("k1", 100, 11),  # inclusive: matches t=100
+        ("k1", 260, 12),  # same bucket as 250: tie -> rid 3
+        ("k1", 650, 13),  # buckets 3..5 empty on right: carry from t=250
+        ("k1", 950, 14),  # in-bucket t=900 beats carried t=250
+        ("k2", 499, 15),  # before k2's only right -> NULL
+        ("k3", 700, 16),  # key absent on right -> NULL
+    ]
+    left = spark.createDataFrame(left_rows, "k string, t bigint, lid bigint")
+    right = spark.createDataFrame(right_rows, "k string, t bigint, rid bigint")
+    out = {
+        r["lid"]: (r["matched_t"], r["matched_rid"])
+        for r in asof_join(left, right, key_col="k", time_col="t", bucket_us=100).collect()
+    }
+    # brute-force reference
+    want = {}
+    for (k, lt, lid) in left_rows:
+        cands = [(rt, rid) for (rk, rt, rid) in right_rows if rk == k and rt <= lt]
+        want[lid] = max(cands) if cands else (None, None)
+    assert out == want
+    assert want[10] == (None, None) and want[12] == (250, 3)
+    assert want[13] == (250, 3) and want[14] == (900, 4)
+
+
+def test_range_join_semantics_and_plan(spark):
+    """Bucketed range join: inclusive endpoints, multi-bucket intervals
+    match without duplicate pairs (a pair meets in exactly ONE bucket),
+    cross-key isolation, the max_len_us replication bound RAISES on
+    violation, and the plan is an equi-join — never
+    BroadcastNestedLoopJoin/CartesianProduct (the scale-killer the
+    bucketing exists to avoid)."""
+    import pytest as _pt
+
+    from samu_ocr_extraction_poc_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [("k1", 50, 1), ("k1", 150, 2), ("k1", 250, 3), ("k1", 301, 4),
+         ("k2", 150, 5)],
+        "k string, t bigint, pid bigint",
+    )
+    intervals = spark.createDataFrame(
+        [("k1", 100, 300, 100), ("k1", 250, 260, 101), ("k2", 0, 99, 102)],
+        "k string, lo bigint, hi bigint, iid bigint",
+    )
+    pairs = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, key_col="k", time_col="t",
+            lo_col="lo", hi_col="hi", bucket_us=100, max_len_us=250,
+        ).collect()
+    )
+    # interval 100 spans buckets 1..3 and must match pids 2,3,4 exactly
+    # once each (301 <= 300 fails; 250 and 150 inside; 50 outside);
+    # interval 101 catches pid 3 too; k2's interval catches nothing
+    assert pairs == [(2, 100), (3, 100), (3, 101)]
+
+    with _pt.raises(ValueError, match="replication bound"):
+        range_join(
+            points, intervals, key_col="k", time_col="t",
+            lo_col="lo", hi_col="hi", bucket_us=100, max_len_us=100,
+        )
+
+    plan = (
+        range_join(
+            points, intervals, key_col="k", time_col="t",
+            lo_col="lo", hi_col="hi", bucket_us=100,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
