@@ -110,6 +110,7 @@ HEADLINE = [
     "phrase_search",
     "asof_join",
     "range_join",
+    "proximity_search",
     "length_quantiles",
     "source_length_quantiles",
     "ccnet_buckets",

@@ -273,3 +273,48 @@ def phrase_match_counts(
             F.element_at("st", 1).cast("bigint").alias("first_pos"),
         )
     )
+
+
+def proximity_query(
+    index: DataFrame, term_a: str, term_b: str, window: int
+) -> DataFrame:
+    """Proximity search over a :func:`positional_index`: documents where
+    ``term_a`` and ``term_b`` co-occur within ``window`` tokens
+    (unordered), with pair multiplicity and the closest distance — the
+    NEAR operator between exact-phrase (distance fixed, ordered) and
+    BM25 (distance ignored).
+
+    Deliberately a COMPOSITION: term_b's postings become width-2w
+    intervals [pos-w, pos+w] and :func:`temporal.range_join` does the
+    rest — same bucketed equi-join, same replication bound, same
+    no-nested-loop guarantee; a raw |pa - pb| <= w join on doc_id alone
+    would be quadratic in term frequency per document, the exact
+    failure mode range_join exists to kill. Returns (doc_id, n_pairs,
+    min_dist), matching documents only."""
+    from .temporal import range_join
+
+    if window < 1:
+        raise ValueError("proximity window must be >= 1")
+    pa = index.where(F.col("term") == term_a).select(
+        "doc_id", F.col("pos").alias("t")
+    )
+    ib = index.where(F.col("term") == term_b).select(
+        "doc_id",
+        F.greatest(F.col("pos") - window, F.lit(1)).alias("lo"),
+        (F.col("pos") + window).alias("hi"),
+        F.col("pos").alias("pb"),
+    )
+    pairs = range_join(
+        pa,
+        ib,
+        key_col="doc_id",
+        time_col="t",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_us=2 * window,
+        max_len_us=2 * window,
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.min(F.abs(F.col("t") - F.col("pb"))).cast("bigint").alias("min_dist"),
+    )

@@ -327,3 +327,62 @@ def stream_probe_dedup(
         *[f"h{i}" for i in range(num_hashes)], *[f"__k{b}" for b in range(n_bands)]
     )
     return (out, idx) if return_index else out
+
+
+def stream_hll(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    p: int = 8,
+    w_bits: int = 32,
+):
+    """Streaming HLL maintenance: a continuously-updated distinct-count
+    sketch over the arriving corpus's word bigrams (vocabulary growth is
+    THE live signal a crawl-ingest dashboard wants, and the exact answer
+    needs unbounded state). Each micro-batch builds its OWN register
+    table (operators/sketch.py:hll_build — one partial-aggregable
+    groupBy/max) and merges it into the persisted sketch via foreachBatch;
+    the merged <= 2^p + 2 rows are collected (the bounded collect-once
+    discipline) and atomically rewritten.
+
+    The delivery-semantics argument: hll_merge is per-bucket MAX —
+    associative, commutative, and IDEMPOTENT — so replaying a micro-batch
+    after a crash leaves the sketch bit-identical. At-least-once delivery
+    is therefore SUFFICIENT; no transactional sink or dedup ledger is
+    needed, which is exactly why register sketches (not exact counters)
+    are the streaming-metrics structure at 10^12 docs. Tests pin
+    stream-final registers == the one-shot batch build, and replay
+    no-ops.
+
+    Returns the streaming query (availableNow in tests); the current
+    sketch is the parquet at ``state_dir`` (hll_estimate reads it).
+    """
+    from ..operators.corpus import _kgrams
+    from ..operators.sketch import hll_build, hll_merge
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        items = batch.select(F.explode(_kgrams(F.col("text"), 2)).alias("tok"))
+        breg = hll_build(items, "tok", p=p, w_bits=w_bits)
+        sess = batch.sparkSession
+        try:
+            state = sess.read.parquet(state_dir)
+            has_state = True
+        except Exception:
+            has_state = False
+        merged = hll_merge(state, breg, p=p, w_bits=w_bits) if has_state else breg
+        # bounded collect (<= 2^p register rows + 2 meta rows) breaks the
+        # read-then-overwrite cycle on state_dir without a checkpoint dir
+        rows = [(int(r["bucket"]), int(r["r"])) for r in merged.collect()]
+        sess.createDataFrame(rows, "bucket bigint, r bigint").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    return (
+        docs.writeStream.foreachBatch(update)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_dir + "_ckpt")
+        .start()
+    )

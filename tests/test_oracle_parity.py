@@ -151,7 +151,7 @@ def test_every_query_is_oracled_or_allowlisted():
 # the r02-only pair and the r03-only fill (the entries cut by the cap —
 # dedup_components, simhash, bpe_token_counts, budget_sample, pii_redact,
 # stratified_sample, sample_documents, chunk_documents, rollup_revenue,
-# pivot_status_by_segment —
+# pivot_status_by_segment, doc_digests —
 # have same-family in-window coverage and head the r6 rotation; see the
 # ORDERING CONTRACT comment at contract.py QUERIES). Change it ONLY
 # together with the dict: the test below exists so adding a query can
@@ -166,12 +166,12 @@ DRIVER_WINDOW_50 = [
     "cms_word_counts", "length_quantiles", "source_length_quantiles",
     "ccnet_buckets", "gopher_repetition", "heavy_hitters", "vocab_coverage",
     "hashed_classify", "alpha_mix", "hll_distinct", "hll_merge",
-    "phrase_search", "asof_join", "range_join",
+    "phrase_search", "asof_join", "range_join", "proximity_search",
     "remove_shared_windows", "extract_order_check", "gopher_rules",
     "c4_rules", "url_dedup", "bloom_probe",
     "events_hourly", "user_sessions",
     "running_customer_revenue",
-    "doc_digests", "money_normalize", "source_router",
+    "money_normalize", "source_router",
     "first_seen_event_types", "dedup_keepfirst", "minhash_signatures",
     "simhash_near_pairs", "props_parse", "ngram_jaccard_top_pairs",
     "token_stats", "lang_id_heuristic", "shared_window_pairs",

@@ -3019,3 +3019,91 @@ def test_range_join_semantics_and_plan(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_proximity_query_semantics(spark):
+    """Proximity (NEAR) search — the range_join composition must equal a
+    brute-force positional cross-check: unordered window, pair
+    multiplicity, closest distance, cross-bucket pairs (window 5 vs
+    bucket 10 exercises interval replication), window < 1 refuses."""
+    import pytest as _pt
+
+    from samu_ocr_extraction_poc_spark.operators.search import (
+        positional_index,
+        proximity_query,
+    )
+
+    rows = [
+        (1, "alpha x x x beta"),
+        (2, "alpha beta"),
+        (3, "beta x x x x x alpha"),
+        (4, "alpha x beta x alpha"),
+        (5, "alpha only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = positional_index(df)
+    got = sorted(map(tuple, proximity_query(idx, "alpha", "beta", 5).collect()))
+    want = []
+    for did, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        pa = [i + 1 for i, t in enumerate(toks) if t == "alpha"]
+        pb = [i + 1 for i, t in enumerate(toks) if t == "beta"]
+        prs = [(a, b) for a in pa for b in pb if abs(a - b) <= 5]
+        if prs:
+            want.append((did, len(prs), min(abs(a - b) for a, b in prs)))
+    assert got == sorted(want)
+    assert (3, 1, 6) not in got  # distance 6 > 5 excluded
+
+    with _pt.raises(ValueError, match="window"):
+        proximity_query(idx, "alpha", "beta", 0)
+
+
+def test_stream_hll_equals_batch_and_replay_noop(spark, tmp_path):
+    """Streaming HLL maintenance: after the stream drains, the persisted
+    register table must equal the one-shot batch build over everything
+    that arrived (merge associativity across micro-batch boundaries);
+    re-merging an already-absorbed batch changes NOTHING (max
+    idempotence — the property that makes at-least-once delivery
+    sufficient, no transactional sink needed)."""
+    from pyspark.sql import functions as F
+
+    from samu_ocr_extraction_poc_spark.operators.corpus import _kgrams
+    from samu_ocr_extraction_poc_spark.operators.sketch import hll_build, hll_merge
+    from samu_ocr_extraction_poc_spark.streaming.ingest import stream_hll
+
+    rows = [
+        (i, f"alpha beta w{i} gamma delta w{i % 7} epsilon", "en", "s", 40)
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "hll_state")
+    # two files -> at least one batch; availableNow drains all
+    docs.where("doc_id < 30").coalesce(1).write.mode("append").parquet(in_dir)
+    docs.where("doc_id >= 30").coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = stream_hll(spark, in_dir, state)
+    q.awaitTermination(180)
+
+    got = {
+        (r["bucket"], r["r"]) for r in spark.read.parquet(state).collect()
+    }
+    items = docs.select(F.explode(_kgrams(F.col("text"), 2)).alias("tok"))
+    want = {
+        (r["bucket"], r["r"]) for r in hll_build(items, "tok").collect()
+    }
+    assert got == want
+
+    # replay: merging the first half AGAIN is a no-op
+    again = hll_merge(
+        spark.read.parquet(state),
+        hll_build(
+            docs.where("doc_id < 30").select(
+                F.explode(_kgrams(F.col("text"), 2)).alias("tok")
+            ),
+            "tok",
+        ),
+    )
+    assert {(r["bucket"], r["r"]) for r in again.collect()} == want
