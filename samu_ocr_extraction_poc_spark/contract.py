@@ -3814,13 +3814,22 @@ def hll_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     def items(d: DataFrame) -> DataFrame:
         return d.select(F.explode(CP._kgrams(F.col("text"), 2)).alias("tok"))
 
+    # hll_merge's default handshake checkpoints each HALF-build once;
+    # `full` needs its own explicit checkpoint because BOTH the estimate
+    # read-off and the register-diff branch consume it — without it the
+    # corpus-sized full build executes twice (hll_estimate's internal
+    # eager checkpoint lands on a COPY; the diff branch would reuse the
+    # raw plan — r5 review finding). eager=False reads then skip the
+    # per-call checkpoints, the round-5 sketch convention.
     merged = SK.hll_merge(
         SK.hll_build(items(docs.where(parity == 0)), "tok"),
         SK.hll_build(items(docs.where(parity == 1)), "tok"),
     )
-    full = SK.hll_build(items(docs), "tok")
-    ef = SK.hll_estimate(full).select(F.col("est").alias("est_full"))
-    em = SK.hll_estimate(merged).select(F.col("est").alias("est_merged"))
+    full = SK.hll_build(items(docs), "tok").localCheckpoint(eager=True)
+    ef = SK.hll_estimate(full, eager=False).select(F.col("est").alias("est_full"))
+    em = SK.hll_estimate(merged, eager=False).select(
+        F.col("est").alias("est_merged")
+    )
     mc = merged.where(F.col("bucket") >= 0).select(
         "bucket", F.col("r").alias("rm")
     )

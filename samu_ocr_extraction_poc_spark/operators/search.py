@@ -295,6 +295,12 @@ def proximity_query(
 
     if window < 1:
         raise ValueError("proximity window must be >= 1")
+    if term_a == term_b:
+        raise ValueError(
+            "proximity_query needs two distinct terms: with term_a == term_b "
+            "every posting pairs with itself (distance 0) and symmetric pairs "
+            "double-count"
+        )
     pa = index.where(F.col("term") == term_a).select(
         "doc_id", F.col("pos").alias("t")
     )
@@ -304,6 +310,11 @@ def proximity_query(
         (F.col("pos") + window).alias("hi"),
         F.col("pos").alias("pb"),
     )
+    # max_len_us=None: hi - lo <= 2*window holds ALGEBRAICALLY here
+    # ([greatest(pos-w,1), pos+w]), and range_join's runtime check is an
+    # eager action over the intervals frame — with an inline index that
+    # re-executes the full corpus tokenize+posexplode once per call for
+    # a bound that cannot fail (r5 review finding)
     pairs = range_join(
         pa,
         ib,
@@ -312,7 +323,7 @@ def proximity_query(
         lo_col="lo",
         hi_col="hi",
         bucket_us=2 * window,
-        max_len_us=2 * window,
+        max_len_us=None,
     )
     return pairs.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_pairs"),

@@ -101,3 +101,60 @@ def pages_distributed(docs: DataFrame, pages_per_chunk: int = 25) -> DataFrame:
         )
         .select("doc_id", "page", "page_text")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    salt_src_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join for HOT KEYS (the row-splitting above handles
+    hot ROWS): the big side gets a deterministic salt from md5 of a
+    row-identifying column, the dim side replicates to every salt, and
+    the join key becomes (key, salt) — a hot key's rows spread over
+    ``n_salts`` tasks instead of one.
+
+    When to reach for this instead of the defaults, in order:
+    1. broadcast the dim side (no shuffle at all) — always first choice
+       when it fits;
+    2. AQE skew-join (enabled session-wide here) — splits oversized
+       SORT-MERGE partitions at runtime, no code change;
+    3. THIS — when the dim side is too big to broadcast AND the plan
+       shape AQE's skew handling doesn't cover applies (shuffled hash
+       joins, aggregation feeding the join, deterministic-layout
+       requirements for a downstream bucketed write).
+
+    The salt is md5-derived (NEVER rand()/monotonically_increasing_id:
+    non-deterministic under task retry — a retried task would re-salt
+    rows differently and double/drop them), so the result layout is
+    stable across retries and re-runs; a NULL ``salt_src_col`` falls
+    back to salt 0 rather than NULL (a NULL salt would silently
+    un-match rows the unsalted join matches). The dim side grows
+    n_salts×: keep it to the small-but-unbroadcastable middle ground
+    the method exists for. Result rows equal the unsalted join exactly
+    (pinned by test) — which is also why ``how`` is restricted to the
+    big-side-preserving joins: under right/full outer an unmatched dim
+    row would surface once per salt copy."""
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    allowed = {"inner", "left", "left_outer", "leftouter", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only {sorted(allowed)}; "
+            f"got {how!r} — right/full outer would duplicate unmatched dim rows "
+            "once per salt copy"
+        )
+    from .corpus import _md5_bucket
+
+    salt = F.coalesce(
+        _md5_bucket(F.col(salt_src_col), 8, n_salts), F.lit(0).cast("bigint")
+    )
+    b = big.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    return b.join(d, [key_col, "__salt"], how).drop("__salt")

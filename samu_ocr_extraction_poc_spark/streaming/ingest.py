@@ -329,6 +329,33 @@ def stream_probe_dedup(
     return (out, idx) if return_index else out
 
 
+def latest_hll_state(spark: SparkSession, state_dir: str):
+    """The current committed sketch of a :func:`stream_hll` run: the
+    highest ``v=<n>`` sub-directory carrying Spark's _SUCCESS marker
+    (a version without the marker is a crashed half-write and is
+    ignored). Returns (DataFrame, version) or (None, -1) when no
+    committed state exists. Driver-side os.listdir — state lives on the
+    driver-visible filesystem here; a cluster deployment swaps these few
+    lines for the Hadoop FileSystem API, nothing else changes."""
+    import os
+
+    best = -1
+    if os.path.isdir(state_dir):
+        for name in os.listdir(state_dir):
+            if name.startswith("v="):
+                try:
+                    v = int(name[2:])
+                except ValueError:
+                    continue
+                if v > best and os.path.exists(
+                    os.path.join(state_dir, name, "_SUCCESS")
+                ):
+                    best = max(best, v)
+    if best < 0:
+        return None, -1
+    return spark.read.parquet(f"{state_dir}/v={best}"), best
+
+
 def stream_hll(
     spark: SparkSession,
     input_dir: str,
@@ -343,19 +370,26 @@ def stream_hll(
     table (operators/sketch.py:hll_build — one partial-aggregable
     groupBy/max) and merges it into the persisted sketch via foreachBatch;
     the merged <= 2^p + 2 rows are collected (the bounded collect-once
-    discipline) and atomically rewritten.
+    discipline) and written as a NEW VERSION ``v=<batch_id>`` whose
+    _SUCCESS marker is the commit point — an in-place overwrite deletes
+    the old state before the new one exists, so a crash mid-write would
+    silently reset the sketch to the replayed batch alone (r5 review
+    finding); with versions, a torn write leaves no marker and the
+    previous committed version keeps serving.
 
     The delivery-semantics argument: hll_merge is per-bucket MAX —
     associative, commutative, and IDEMPOTENT — so replaying a micro-batch
-    after a crash leaves the sketch bit-identical. At-least-once delivery
-    is therefore SUFFICIENT; no transactional sink or dedup ledger is
+    after a crash leaves the sketch bit-identical (the replayed batch
+    rewrites ITS OWN version number). At-least-once delivery is
+    therefore SUFFICIENT; no transactional sink or dedup ledger is
     needed, which is exactly why register sketches (not exact counters)
     are the streaming-metrics structure at 10^12 docs. Tests pin
     stream-final registers == the one-shot batch build, and replay
     no-ops.
 
-    Returns the streaming query (availableNow in tests); the current
-    sketch is the parquet at ``state_dir`` (hll_estimate reads it).
+    Returns the streaming query (availableNow in tests); read the
+    current sketch with :func:`latest_hll_state` (hll_estimate consumes
+    it directly — meta rows are carried through the state).
     """
     from ..operators.corpus import _kgrams
     from ..operators.sketch import hll_build, hll_merge
@@ -367,18 +401,17 @@ def stream_hll(
         items = batch.select(F.explode(_kgrams(F.col("text"), 2)).alias("tok"))
         breg = hll_build(items, "tok", p=p, w_bits=w_bits)
         sess = batch.sparkSession
-        try:
-            state = sess.read.parquet(state_dir)
-            has_state = True
-        except Exception:
-            has_state = False
-        merged = hll_merge(state, breg, p=p, w_bits=w_bits) if has_state else breg
-        # bounded collect (<= 2^p register rows + 2 meta rows) breaks the
-        # read-then-overwrite cycle on state_dir without a checkpoint dir
+        state, _v = latest_hll_state(sess, state_dir)
+        merged = (
+            hll_merge(state, breg, p=p, w_bits=w_bits) if state is not None else breg
+        )
+        # bounded collect (<= 2^p register rows + 2 meta rows); the write
+        # targets this batch's own version dir, so a replayed batch
+        # overwrites only itself and the _SUCCESS marker commits it
         rows = [(int(r["bucket"]), int(r["r"])) for r in merged.collect()]
         sess.createDataFrame(rows, "bucket bigint, r bigint").coalesce(1).write.mode(
             "overwrite"
-        ).parquet(state_dir)
+        ).parquet(f"{state_dir}/v={batch_id}")
 
     return (
         docs.writeStream.foreachBatch(update)

@@ -3069,7 +3069,10 @@ def test_stream_hll_equals_batch_and_replay_noop(spark, tmp_path):
 
     from samu_ocr_extraction_poc_spark.operators.corpus import _kgrams
     from samu_ocr_extraction_poc_spark.operators.sketch import hll_build, hll_merge
-    from samu_ocr_extraction_poc_spark.streaming.ingest import stream_hll
+    from samu_ocr_extraction_poc_spark.streaming.ingest import (
+        latest_hll_state,
+        stream_hll,
+    )
 
     rows = [
         (i, f"alpha beta w{i} gamma delta w{i % 7} epsilon", "en", "s", 40)
@@ -3087,18 +3090,25 @@ def test_stream_hll_equals_batch_and_replay_noop(spark, tmp_path):
     q = stream_hll(spark, in_dir, state)
     q.awaitTermination(180)
 
-    got = {
-        (r["bucket"], r["r"]) for r in spark.read.parquet(state).collect()
-    }
+    state_df, version = latest_hll_state(spark, state)
+    assert state_df is not None and version >= 0
+    got = {(r["bucket"], r["r"]) for r in state_df.collect()}
     items = docs.select(F.explode(_kgrams(F.col("text"), 2)).alias("tok"))
     want = {
         (r["bucket"], r["r"]) for r in hll_build(items, "tok").collect()
     }
     assert got == want
 
+    # torn write: a version dir without _SUCCESS must be invisible
+    import os
+    os.makedirs(f"{state}/v=999", exist_ok=True)
+    with open(f"{state}/v=999/part-torn.parquet", "w") as fh:
+        fh.write("garbage")
+    df2, v2 = latest_hll_state(spark, state)
+    assert v2 == version  # the uncommitted v=999 is ignored
     # replay: merging the first half AGAIN is a no-op
     again = hll_merge(
-        spark.read.parquet(state),
+        df2,
         hll_build(
             docs.where("doc_id < 30").select(
                 F.explode(_kgrams(F.col("text"), 2)).alias("tok")
@@ -3107,3 +3117,68 @@ def test_stream_hll_equals_batch_and_replay_noop(spark, tmp_path):
         ),
     )
     assert {(r["bucket"], r["r"]) for r in again.collect()} == want
+
+
+def test_salted_join_equals_plain_and_spreads_hot_key(spark):
+    """Skew-salted join: result rows equal the unsalted join EXACTLY
+    (the correctness pin — salting must never change semantics, only
+    layout), and a 90%-hot-key input's max per-(key,salt) group shrinks
+    ~n_salts× vs per-key (the layout claim the operator exists for).
+    Salt is md5-deterministic: two runs produce identical salted rows
+    (the task-retry-safety argument; rand() salts double/drop rows on
+    retry)."""
+    from pyspark.sql import functions as F
+
+    from samu_ocr_extraction_poc_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [("hot" if i % 10 < 9 else f"k{i % 97}", i) for i in range(2000)],
+        "k string, row_id bigint",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k3", 2), ("k17", 3)], "k string, dim_val bigint"
+    )
+    plain = sorted(
+        (r["k"], r["row_id"], r["dim_val"])
+        for r in big.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["row_id"], r["dim_val"])
+        for r in salted_join(big, dim, "k", "row_id", n_salts=16).collect()
+    )
+    assert salted == plain and len(plain) > 1800
+
+    # layout: the hot key's biggest (key, salt) bucket is ~1/16 its size
+    salt = (
+        F.conv(F.substring(F.md5(F.col("row_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 16
+    )
+    sizes = (
+        big.where(F.col("k") == "hot")
+        .groupBy(salt.alias("s"))
+        .count()
+        .agg(F.max("count").alias("mx"), F.count("*").alias("n_buckets"))
+        .collect()[0]
+    )
+    hot_total = big.where(F.col("k") == "hot").count()
+    assert sizes["n_buckets"] == 16
+    assert sizes["mx"] < hot_total / 8  # vs hot_total in the unsalted layout
+
+    # determinism across runs
+    s1 = sorted(map(tuple, salted_join(big, dim, "k", "row_id", n_salts=16).collect()))
+    s2 = sorted(map(tuple, salted_join(big, dim, "k", "row_id", n_salts=16).collect()))
+    assert s1 == s2
+
+    # NULL salt source falls back to salt 0 — the row still matches
+    import pytest as _pt
+
+    nullish = spark.createDataFrame(
+        [("hot", None), ("hot", 7)], "k string, row_id bigint"
+    )
+    nj = salted_join(nullish, dim, "k", "row_id", n_salts=16).collect()
+    assert len(nj) == 2  # a NULL salt would silently drop the first row
+
+    # big-side-preserving joins only: right/full outer would surface an
+    # unmatched dim row once per salt copy
+    with _pt.raises(ValueError, match="big-side-preserving"):
+        salted_join(big, dim, "k", "row_id", n_salts=16, how="full")
