@@ -4110,6 +4110,93 @@ FROM pxj GROUP BY doc_id
 """
 
 
+def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-integer fixed-point PageRank over a deterministic synthetic
+    link graph (operators/graph.py — Page et al. 1999; the link-graph
+    quality-weighting signal crawl-seeded corpora rank hosts with).
+
+    Graph: each doc_id emits 3 md5-uniform out-links into the 0..N-1 id
+    space; misses (non-contiguous ids) and self-loops drop, multi-edges
+    collapse. Rank: 8 unrolled iterations at damping 85/100 in BIGINT
+    fixed-point (scale 10^12) — share = rank DIV out_deg, then the
+    damped sum, integer truncation and dangling-mass leak pinned as
+    semantics. The oracle unrolls the same 8 iterations as chained CTEs
+    (the kmeans-Lloyd precedent) over the identical edge derivation, so
+    every rank matches bit-exactly — no FP convergence tolerance exists.
+    Output: every node with its final rank and degrees."""
+    from .operators import graph as GR
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = GR.synth_link_graph(docs, n_links=3, salt="pr").localCheckpoint(
+        eager=True
+    )
+    ranks = GR.pagerank(docs, edges, iterations=8)
+    # name-based joins: ranks' lineage contains the edge table, so
+    # attribute refs would trip the ambiguous-self-join check
+    out_deg = (
+        edges.groupBy("src").agg(F.count("*").alias("od"))
+        .withColumnRenamed("src", "node")
+    )
+    in_deg = (
+        edges.groupBy("dst").agg(F.count("*").alias("idg"))
+        .withColumnRenamed("dst", "node")
+    )
+    return (
+        ranks.join(out_deg, "node", "left")
+        .join(in_deg, "node", "left")
+        .select(
+            "node",
+            F.col("rank").alias("rank_e12"),
+            F.coalesce(F.col("idg"), F.lit(0)).cast("bigint").alias("in_deg"),
+            F.coalesce(F.col("od"), F.lit(0)).cast("bigint").alias("out_deg"),
+        )
+    )
+
+
+def _pagerank_sql(iterations: int = 8, n_links: int = 3, salt: str = "pr") -> str:
+    """DuckDB replay of synth_link_graph + pagerank: identical md5 edge
+    derivation, the same BIGINT fixed-point update unrolled ``iterations``
+    times. `pr`, not `rank`, as the internal column name (window-function
+    keyword)."""
+    links = ", ".join(f"({j})" for j in range(1, n_links + 1))
+    tele = "((15 * (1000000000000 // (SELECT n FROM prn))) // 100)"
+    parts = [
+        f"""WITH prn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+prnodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS node FROM documents),
+prraw AS (SELECT nn.node AS src,
+                 ('0x' || substr(md5('{salt}:' || CAST(nn.node AS VARCHAR) || ':' || CAST(t.j AS VARCHAR)), 1, 15))::BIGINT
+                   % (SELECT n FROM prn) AS dst
+          FROM prnodes nn, (VALUES {links}) t(j)),
+predges AS (SELECT DISTINCT src, dst FROM prraw
+            WHERE src <> dst AND dst IN (SELECT node FROM prnodes)),
+proutd AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM predges GROUP BY src),
+prind AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg FROM predges GROUP BY dst),
+prr0 AS (SELECT node, (1000000000000 // (SELECT n FROM prn)) AS pr FROM prnodes)"""
+    ]
+    for it in range(1, iterations + 1):
+        parts.append(
+            f""",
+prs{it} AS (SELECT e.dst, sum(r.pr // o.out_deg) AS c
+        FROM predges e JOIN prr{it - 1} r ON r.node = e.src
+        JOIN proutd o ON o.src = e.src GROUP BY e.dst),
+prr{it} AS (SELECT nn.node, {tele} + (85 * coalesce(s.c, 0)) // 100 AS pr
+        FROM prnodes nn LEFT JOIN prs{it} s ON s.dst = nn.node)"""
+        )
+    parts.append(
+        f"""
+SELECT r.node, CAST(r.pr AS BIGINT) AS rank_e12,
+       CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg
+FROM prr{iterations} r
+LEFT JOIN prind i ON i.dst = r.node
+LEFT JOIN proutd o ON o.src = r.node"""
+    )
+    return "".join(parts)
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
 # ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
 # checks only the FIRST 50 entries of this dict (insertion order), so the
 # window below is a deliberate rotation, pinned by
@@ -4161,6 +4248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": asof_join_q,
     "range_join": range_join_q,
     "proximity_search": proximity_search_q,
+    "pagerank": pagerank_q,
     # --- (b') new in round 4, kept in-window per VERDICT r4 item 3
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
@@ -4185,7 +4273,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_heuristic": lang_id_heuristic,
     "shared_window_pairs": shared_window_pairs_q,
     "contamination_check": contamination_check_q,
-    "repetition_stats": repetition_stats_q,
     "pack_assignments": pack_assignments_q,
     "shuffle_order": shuffle_order_q,
     # ---------------------- position 51+ -------------------------------
@@ -4215,7 +4302,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the never-checked asof_join + range_join — the general-agg family
     # stays in-window via q1_pricing_summary; doc_digests r03-green,
     # displaced by the never-checked proximity_search — the sha256-id
-    # family stays in-window via extract_order_check
+    # family stays in-window via extract_order_check; repetition_stats
+    # r03-green, displaced by the never-checked pagerank — the
+    # repetition family stays in-window via gopher_repetition (the
+    # superset signal table)
+    "repetition_stats": repetition_stats_q,
     "doc_digests": doc_digests,
     "rollup_revenue": rollup_revenue,
     "pivot_status_by_segment": pivot_status_by_segment,
@@ -4337,6 +4428,7 @@ ORACLE_SQL: dict[str, str] = {
     "asof_join": ASOF_JOIN_SQL,
     "range_join": RANGE_JOIN_SQL,
     "proximity_search": PROXIMITY_SEARCH_SQL,
+    "pagerank": PAGERANK_SQL,
     "length_quantiles": LENGTH_QUANTILES_SQL,
     "source_length_quantiles": SOURCE_LENGTH_QUANTILES_SQL,
     "ccnet_buckets": CCNET_BUCKETS_SQL,
