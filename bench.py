@@ -119,6 +119,17 @@ HEADLINE = [
     # the stride-k screen is the 100 TB path for exact-substring dedup;
     # timed alongside the stride-1 exact entry above
     "remove_shared_windows_screened",
+    # iterative link analysis (all-integer, 8 scheduled join rounds) and the
+    # df-screened all-pairs weighted similarity (the Bayardo screen is what
+    # bounds the quadratic stage; ~10 s at sf0.1, dominated by the self-join)
+    "pagerank",
+    "tfidf_pairs",
+    # blocked Fellegi-Sunter record linkage over the synthesised
+    # dirty-copies table (two equi-join blocking passes, never all-pairs)
+    "record_linkage",
+    # word2vec phrase scores (staged-integer PMI; two counts + two
+    # vocabulary joins + TakeOrdered)
+    "collocations",
 ]
 
 

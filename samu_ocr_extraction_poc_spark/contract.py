@@ -4197,6 +4197,171 @@ LEFT JOIN proutd o ON o.src = r.node"""
 PAGERANK_SQL = _pagerank_sql()
 
 
+def tfidf_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs IDF-weighted lexical similarity with the df screen
+    (operators/search.py:tfidf_weighted_pairs — Bayardo et al. 2007):
+    word-bigram postings, integer IDF weight (N*1000) DIV df, pair score
+    = sum of tf_a*tf_b*w over shared screened terms, top 30 by the total
+    order (score DESC, doc_a, doc_b). Everything integer, so the oracle
+    replays each score exactly; the min/max-df screen runs BEFORE the
+    self-join, bounding candidate volume by max_df * sum(df) — the
+    mechanism that keeps the quadratic stage tractable at corpus scale."""
+    from .operators import search as SE
+
+    docs = _t(spark, sf_dir, "documents")
+    return SE.tfidf_weighted_pairs(docs, n_docs=docs.count(), top_k=30)
+
+
+TFIDF_PAIRS_SQL = """
+WITH tw0 AS (SELECT doc_id,
+                    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                                t -> length(t) > 0) AS w
+             FROM documents),
+twb AS (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                     i -> w[i] || ' ' || w[i+1])) AS term
+        FROM tw0),
+twtf AS (SELECT doc_id AS doc, term, CAST(count(*) AS BIGINT) AS tf
+         FROM twb GROUP BY doc_id, term),
+twn AS (SELECT count(*) AS n FROM documents),
+tww AS (SELECT term, ((SELECT n FROM twn) * 1000) // count(*) AS w
+        FROM twtf GROUP BY term
+        HAVING count(*) >= 2
+           AND count(*) <= greatest((SELECT n FROM twn) // 20, 2)),
+twp AS (SELECT a.doc AS doc_a, b.doc AS doc_b, a.tf AS tf_a, b.tf AS tf_b, tww.w
+        FROM twtf a JOIN twtf b ON a.term = b.term AND a.doc < b.doc
+        JOIN tww ON tww.term = a.term)
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared_terms,
+       CAST(sum(tf_a * tf_b * w) AS BIGINT) AS score
+FROM twp GROUP BY doc_a, doc_b
+ORDER BY score DESC, doc_a, doc_b LIMIT 30
+"""
+
+
+def record_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Fellegi-Sunter record linkage (operators/linkage.py) over a
+    deterministic md5-perturbed dirty-copies table synthesised from
+    customer (2 corrupted variants per entity: digit mutation, nation
+    drift, balance jitter, missing segment — every draw an md5 window of
+    custkey:variant, so the oracle replays the synthesis in closed
+    form).  Candidates from the UNION of two equi-join blocking passes
+    (name-suffix-6 + (nation, $100-balance-band)) — never an all-pairs
+    join; integer agreement scores; matched pairs with the ground-truth
+    flag.  All arithmetic BIGINT, bit-exact across engines."""
+    from .operators import linkage as LK
+
+    cust = _t(spark, sf_dir, "customer")
+    return LK.blocked_link_pairs(LK.synth_dirty_records(cust, copies=2))
+
+
+RECORD_LINKAGE_SQL = """
+WITH rl0 AS (SELECT c_custkey,
+                    substr(c_name, 10, 9) AS nd0,
+                    CAST(c_nationkey AS BIGINT) AS nat0,
+                    CAST(round(c_acctbal * 100) AS BIGINT) AS cents0,
+                    c_mktsegment AS seg0,
+                    unnest(range(0, 3)) AS v
+             FROM customer),
+rlk AS (SELECT *, CAST(c_custkey AS VARCHAR) || ':' || CAST(v AS VARCHAR) AS k
+        FROM rl0),
+rlrec AS (SELECT
+    c_custkey * 10 + v AS rec_id,
+    c_custkey AS entity_id,
+    CASE WHEN v > 0 AND ('0x' || substr(md5(k), 1, 2))::BIGINT % 4 = 0
+         THEN substr(nd0, 1, CAST(('0x' || substr(md5(k), 3, 2))::BIGINT % 9 AS INT))
+              || CAST(('0x' || substr(md5(k), 5, 2))::BIGINT % 10 AS VARCHAR)
+              || substr(nd0, CAST(('0x' || substr(md5(k), 3, 2))::BIGINT % 9 AS INT) + 2,
+                        8 - CAST(('0x' || substr(md5(k), 3, 2))::BIGINT % 9 AS INT))
+         ELSE nd0 END AS name_digits,
+    CASE WHEN v > 0 AND ('0x' || substr(md5(k), 7, 2))::BIGINT % 5 = 0
+         THEN (nat0 + 1 + ('0x' || substr(md5(k), 9, 2))::BIGINT % 23) % 25
+         ELSE nat0 END AS nationkey,
+    CASE WHEN v > 0 AND ('0x' || substr(md5(k), 11, 2))::BIGINT % 4 = 0
+         THEN cents0 + ('0x' || substr(md5(k), 13, 2))::BIGINT % 101 - 50
+         ELSE cents0 END AS cents,
+    CASE WHEN v > 0 AND ('0x' || substr(md5(k), 15, 2))::BIGINT % 6 = 0
+         THEN NULL ELSE seg0 END AS segment
+  FROM rlk),
+rlpa AS (SELECT a.rec_id AS rec_a, b.rec_id AS rec_b
+         FROM rlrec a JOIN rlrec b
+           ON substr(a.name_digits, 4, 6) = substr(b.name_digits, 4, 6)
+          AND a.rec_id < b.rec_id),
+rlpb AS (SELECT a.rec_id AS rec_a, b.rec_id AS rec_b
+         FROM rlrec a JOIN rlrec b
+           ON a.nationkey = b.nationkey
+          AND (a.cents // 10000) = (b.cents // 10000)
+          AND a.rec_id < b.rec_id),
+rlc AS (SELECT DISTINCT rec_a, rec_b
+        FROM (SELECT * FROM rlpa UNION ALL SELECT * FROM rlpb)),
+rls AS (SELECT c.rec_a, c.rec_b,
+          CAST(CASE WHEN a.name_digits = b.name_digits THEN 40
+                    WHEN substr(a.name_digits, 4, 6) = substr(b.name_digits, 4, 6) THEN 25
+                    ELSE -10 END
+             + CASE WHEN a.nationkey = b.nationkey THEN 15 ELSE -5 END
+             + CASE WHEN abs(a.cents - b.cents) <= 100 THEN 20 ELSE -10 END
+             + CASE WHEN a.segment IS NULL OR b.segment IS NULL THEN 0
+                    WHEN a.segment = b.segment THEN 10 ELSE -15 END AS BIGINT)
+            AS score,
+          CAST(a.entity_id = b.entity_id AS BIGINT) AS is_true
+        FROM rlc c
+        JOIN rlrec a ON c.rec_a = a.rec_id
+        JOIN rlrec b ON c.rec_b = b.rec_id)
+SELECT rec_a, rec_b, score, is_true FROM rls WHERE score >= 45
+"""
+
+
+def collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec phrase/collocation scores (operators/corpus.py:
+    collocations — Mikolov et al. 2013 §4): adjacent-pair counts with
+    the delta discount, scored in STAGED integer arithmetic
+    (t = (c_ab-δ)·10^4 DIV c_a, score = t·N DIV c_b — the staging bounds
+    every intermediate below BIGINT overflow at a 10^13-token corpus,
+    where the single-expression form would overflow).  One tokenize
+    pass, two partial-aggregable counts, two vocabulary-sized joins,
+    TakeOrderedAndProject top-50 by the total order (score DESC, w1,
+    w2).  N is the corpus token total (one bounded scalar agg)."""
+    from .functions.textfns import normalized, tokens
+    from .operators import corpus as C
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = int(
+        docs.select(
+            F.sum(
+                F.size(
+                    F.filter(
+                        tokens(normalized(F.col("text"))),
+                        lambda t: F.length(t) > 0,
+                    )
+                )
+            )
+        ).first()[0]
+    )
+    return C.collocations(docs, n_tokens=n_tokens)
+
+
+COLLOCATIONS_SQL = """
+WITH cl0 AS (SELECT list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                                t -> length(t) > 0) AS w
+             FROM documents),
+cln AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n FROM cl0),
+cluc AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT unnest(w) AS word FROM cl0) GROUP BY word),
+clbc AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+                CAST(count(*) AS BIGINT) AS c_ab
+         FROM (SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                            i -> w[i] || ' ' || w[i+1])) AS bg
+               FROM cl0)
+         GROUP BY 1, 2
+         HAVING count(*) >= 5)
+SELECT b.w1, b.w2, b.c_ab, a.c AS c_a, c.c AS c_b,
+       CAST((((b.c_ab - 5) * 10000) // a.c) * (SELECT n FROM cln) // c.c AS BIGINT) AS score
+FROM clbc b
+JOIN cluc a ON a.word = b.w1
+JOIN cluc c ON c.word = b.w2
+ORDER BY score DESC, b.w1, b.w2 LIMIT 50
+"""
+
+
 # ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
 # checks only the FIRST 50 entries of this dict (insertion order), so the
 # window below is a deliberate rotation, pinned by
@@ -4249,6 +4414,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": range_join_q,
     "proximity_search": proximity_search_q,
     "pagerank": pagerank_q,
+    "tfidf_pairs": tfidf_pairs_q,
+    "record_linkage": record_linkage_q,
+    "collocations": collocations_q,
     # --- (b') new in round 4, kept in-window per VERDICT r4 item 3
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
@@ -4268,10 +4436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": minhash_signatures_q,
     "simhash_near_pairs": simhash_near_pairs,
     "props_parse": props_parse,
-    "ngram_jaccard_top_pairs": ngram_jaccard_top_pairs,
-    "token_stats": token_stats,
     "lang_id_heuristic": lang_id_heuristic,
-    "shared_window_pairs": shared_window_pairs_q,
     "contamination_check": contamination_check_q,
     "pack_assignments": pack_assignments_q,
     "shuffle_order": shuffle_order_q,
@@ -4305,8 +4470,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # family stays in-window via extract_order_check; repetition_stats
     # r03-green, displaced by the never-checked pagerank — the
     # repetition family stays in-window via gopher_repetition (the
-    # superset signal table)
+    # superset signal table); token_stats r03-green, displaced by the
+    # never-checked tfidf_pairs — the token-count family stays in-window
+    # via cms_word_counts + vocab_coverage (same tokenizer, corpus-wide);
+    # shared_window_pairs r03-green, displaced by the never-checked
+    # record_linkage — the shared-window family stays in-window via
+    # remove_shared_windows (the apply step over the same window pairs);
+    # ngram_jaccard_top_pairs r03-green, displaced by the never-checked
+    # collocations — the ngram-similarity family stays in-window via
+    # minhash_signatures + simhash_near_pairs + tfidf_pairs
     "repetition_stats": repetition_stats_q,
+    "token_stats": token_stats,
+    "shared_window_pairs": shared_window_pairs_q,
+    "ngram_jaccard_top_pairs": ngram_jaccard_top_pairs,
     "doc_digests": doc_digests,
     "rollup_revenue": rollup_revenue,
     "pivot_status_by_segment": pivot_status_by_segment,
@@ -4429,6 +4605,9 @@ ORACLE_SQL: dict[str, str] = {
     "range_join": RANGE_JOIN_SQL,
     "proximity_search": PROXIMITY_SEARCH_SQL,
     "pagerank": PAGERANK_SQL,
+    "tfidf_pairs": TFIDF_PAIRS_SQL,
+    "record_linkage": RECORD_LINKAGE_SQL,
+    "collocations": COLLOCATIONS_SQL,
     "length_quantiles": LENGTH_QUANTILES_SQL,
     "source_length_quantiles": SOURCE_LENGTH_QUANTILES_SQL,
     "ccnet_buckets": CCNET_BUCKETS_SQL,

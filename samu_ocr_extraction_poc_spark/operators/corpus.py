@@ -1636,3 +1636,93 @@ def alpha_mix(
             .alias("kept_tokens"),
         )
     )
+
+
+COLLOC_SCALE = 10**4
+
+
+def collocations(
+    df: DataFrame,
+    n_tokens: int,
+    delta: int = 5,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus collocation (phrase) extraction — the word2vec phrase score
+    (Mikolov et al. 2013 §4, "Distributed Representations of Words and
+    Phrases"): score(a, b) = (count(ab) - delta) * N / (count(a) *
+    count(b)), with delta discounting rare accidental pairs.  Training
+    pipelines run this to promote multi-word units before tokenizer /
+    embedding training.
+
+    The score is computed in STAGED integer arithmetic so the DuckDB
+    oracle replays it exactly AND no intermediate can overflow BIGINT at
+    a 10^13-token corpus:
+
+        t     = (count(ab) - delta) * COLLOC_SCALE DIV count(a)
+        score = t * N DIV count(b)
+
+    (count(ab) <= count(a), so t <= COLLOC_SCALE and t * N <= 10^4 *
+    10^13 — two orders below the BIGINT range; the single-expression
+    form (c_ab - delta) * N * SCALE would overflow at 10^13 tokens.
+    The staged form IS the operator's definition — both engines compute
+    it verbatim, rounding included.)
+
+    Plan shape: one tokenize pass feeds BOTH the unigram explode and the
+    adjacent-pair explode; two partial-aggregable groupBy counts; pair
+    counts join unigram counts twice on the word (the unigram table is
+    vocabulary-sized — broadcastable); TakeOrderedAndProject for the
+    top-k by (score DESC, w1, w2) — a total order, no window.
+
+    ``n_tokens`` is the corpus token total (callers pass the bounded
+    count — keeps the operator a pure DataFrame transform, the
+    tfidf_weighted_pairs ``n_docs`` precedent).
+    """
+    toks = F.filter(tokens(normalized(F.col(text_col))), lambda t: F.length(t) > 0)
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("w"))
+    uni = (
+        base.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    pairs = (
+        base.select(
+            F.explode(
+                let_bound(
+                    F.col("w"),
+                    lambda ws: F.filter(
+                        F.zip_with(
+                            ws,
+                            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                        ),
+                        lambda p: p["w2"].isNotNull(),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    ca = uni.select(F.col("word").alias("w1"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("word").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(ca, "w1")
+        .join(cb, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                f"(((c_ab - {delta}) * {COLLOC_SCALE}) DIV c_a) * {n_tokens} DIV c_b"
+            ).cast("bigint").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "w1", "w2")
+        .limit(top_k)
+    )

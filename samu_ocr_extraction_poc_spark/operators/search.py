@@ -329,3 +329,97 @@ def proximity_query(
         F.count("*").cast("bigint").alias("n_pairs"),
         F.min(F.abs(F.col("t") - F.col("pb"))).cast("bigint").alias("min_dist"),
     )
+
+
+def tfidf_weighted_pairs(
+    df: DataFrame,
+    n_docs: int,
+    min_df: int = 2,
+    max_df: int | None = None,
+    idf_scale: int = 1000,
+    top_k: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs IDF-weighted lexical similarity with a document-frequency
+    screen (Bayardo et al. 2007, "Scaling Up All Pairs Similarity
+    Search": candidate volume from an inverted index is Σ df(t)^2, so the
+    screen that drops ubiquitous terms IS the scalability mechanism —
+    df > max_df terms carry near-zero IDF weight and quadratic join
+    cost).
+
+    Terms are word BIGRAMS of the normalized token stream (open enough
+    vocabulary for document-level discrimination; unigram vocabularies
+    saturate). All arithmetic is integer so the DuckDB oracle replays
+    every score exactly:
+
+        w(t)            = (n_docs * idf_scale) DIV df(t)      -- integer IDF
+        score(a, b)     = Σ_shared-t  tf_a(t) * tf_b(t) * w(t)
+
+    Plan shape at scale: one tokenize+explode into postings, one
+    partially-aggregable (doc, term) tf groupBy, a df groupBy on term
+    with the min/max-df screen applied BEFORE the self-join (the only
+    quadratic stage, bounded by max_df), and a final TakeOrderedAndProject
+    for the top-k — no global sort, no window.
+
+    ``n_docs`` is the corpus size (callers pass the bounded count —
+    keeps the operator a pure DataFrame transform).
+
+    Returns the ``top_k`` (doc_a, doc_b, n_shared_terms, score) pairs by
+    (score DESC, doc_a, doc_b) — a total order, so the cut is
+    deterministic.
+    """
+    if max_df is None:
+        max_df = max(n_docs // 20, min_df)
+
+    def bigrams(toks: Column) -> Column:
+        clean = F.filter(toks, lambda t: F.length(t) > 0)
+        return let_bound(
+            clean,
+            lambda ct: F.filter(
+                F.zip_with(
+                    ct,
+                    F.slice(ct, 2, F.greatest(F.size(ct) - 1, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+
+    posting = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(bigrams(tokens(normalized(F.col(text_col))))).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    weights = (
+        posting.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("dft"))
+        .where((F.col("dft") >= min_df) & (F.col("dft") <= max_df))
+        .select("term", F.expr(f"({n_docs} * {idf_scale}) DIV dft").alias("w"))
+    )
+    kept = posting.join(weights, "term")
+    pa = kept.select(
+        "term",
+        F.col("doc").alias("doc_a"),
+        F.col("tf").alias("tf_a"),
+        F.col("w").alias("w"),
+    )
+    pb = kept.select(
+        "term", F.col("doc").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    return (
+        pa.join(pb, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared_terms"),
+            F.sum(F.col("tf_a") * F.col("tf_b") * F.col("w"))
+            .cast("bigint")
+            .alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_a", "doc_b")
+        .limit(top_k)
+    )

@@ -48,7 +48,8 @@ DOC_QUERIES = [
     "length_quantiles", "source_length_quantiles", "ccnet_buckets",
     "gopher_repetition", "shuffle_order", "heavy_hitters", "vocab_coverage",
     "hashed_classify", "alpha_mix", "hll_distinct", "hll_merge",
-    "phrase_search", "proximity_search", "pagerank",
+    "phrase_search", "proximity_search", "pagerank", "tfidf_pairs",
+    "collocations",
 ]
 
 

@@ -167,15 +167,15 @@ DRIVER_WINDOW_50 = [
     "ccnet_buckets", "gopher_repetition", "heavy_hitters", "vocab_coverage",
     "hashed_classify", "alpha_mix", "hll_distinct", "hll_merge",
     "phrase_search", "asof_join", "range_join", "proximity_search",
-    "pagerank",
+    "pagerank", "tfidf_pairs", "record_linkage", "collocations",
     "remove_shared_windows", "extract_order_check", "gopher_rules",
     "c4_rules", "url_dedup", "bloom_probe",
     "events_hourly", "user_sessions",
     "running_customer_revenue",
     "money_normalize", "source_router",
     "first_seen_event_types", "dedup_keepfirst", "minhash_signatures",
-    "simhash_near_pairs", "props_parse", "ngram_jaccard_top_pairs",
-    "token_stats", "lang_id_heuristic", "shared_window_pairs",
+    "simhash_near_pairs", "props_parse",
+    "lang_id_heuristic",
     "contamination_check",
     "pack_assignments", "shuffle_order",
 ]
