@@ -4362,6 +4362,148 @@ ORDER BY score DESC, b.w1, b.w2 LIMIT 50
 """
 
 
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counts + local clustering coefficient over the
+    deterministic synthetic link graph (operators/graph.py:
+    triangle_counts — Suri & Vassilvitskii 2011 degree-ordered
+    orientation). The orientation bounds every node's oriented
+    out-degree at O(sqrt(m)), so the wedge self-join survives the skew
+    that kills the naive neighbor-join on web link graphs; each
+    triangle is enumerated exactly once. All-integer (counts + the
+    lcc in e6 fixed-point), so the oracle replaying the same
+    orientation matches bit-exactly. Graph: 4 md5-uniform out-links
+    per doc (salt 'tri'), canonicalized undirected."""
+    from .operators import graph as GR
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = GR.synth_link_graph(docs, n_links=4, salt="tri").localCheckpoint(
+        eager=True
+    )
+    return GR.triangle_counts(GR.undirected_edges(edges))
+
+
+TRIANGLE_SQL = """
+WITH trn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+trnodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS node FROM documents),
+trraw AS (SELECT nn.node AS src,
+                 ('0x' || substr(md5('tri:' || CAST(nn.node AS VARCHAR) || ':' || CAST(t.j AS VARCHAR)), 1, 15))::BIGINT
+                   % (SELECT n FROM trn) AS dst
+          FROM trnodes nn, (VALUES (1),(2),(3),(4)) t(j)),
+tredges AS (SELECT DISTINCT src, dst FROM trraw
+            WHERE src <> dst AND dst IN (SELECT node FROM trnodes)),
+trund AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM tredges),
+trdeg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT u AS node FROM trund UNION ALL SELECT v AS node FROM trund)
+          GROUP BY node),
+tror AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+                CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+                CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+         FROM trund
+         JOIN (SELECT node AS u, deg AS du FROM trdeg) du_t USING (u)
+         JOIN (SELECT node AS v, deg AS dv FROM trdeg) dv_t USING (v)),
+trtri AS (SELECT o1.a AS t1, o1.b AS t2, o2.b AS t3
+          FROM tror o1
+          JOIN tror o2 ON o1.a = o2.a
+           AND (o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b))
+          JOIN tror o3 ON o3.a = o1.b AND o3.b = o2.b),
+trpn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+         FROM (SELECT t1 AS node FROM trtri
+               UNION ALL SELECT t2 AS node FROM trtri
+               UNION ALL SELECT t3 AS node FROM trtri)
+         GROUP BY node)
+SELECT d.node, d.deg AS degree,
+       CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.deg >= 2
+                 THEN (2 * coalesce(p.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+                 ELSE 0 END AS BIGINT) AS lcc_e6
+FROM trdeg d LEFT JOIN trpn p USING (node)
+"""
+
+
+def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel conversion view -> click -> purchase
+    (operators/temporal.py:funnel): per user t1 = first view, t2 =
+    first click strictly after t1, t3 = first purchase strictly after
+    t2; reached = highest stage attained. One conditional min-agg +
+    one user-keyed join per stage — every shuffle on the user key,
+    every agg partial-aggregable, so a hot user costs one combiner row
+    per stage instead of its whole history in one window partition.
+    Integer microseconds end-to-end (-1 = not reached)."""
+    from .operators import temporal as TP
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    return TP.funnel(ev, ["view", "click", "purchase"])
+
+
+FUNNEL_SQL = """
+WITH fn1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+             FROM events WHERE event_type = 'view' GROUP BY user_id),
+fn2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        FROM events e JOIN fn1 f ON f.user_id = e.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > f.t1
+        GROUP BY e.user_id),
+fn3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        FROM events e JOIN fn2 f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f.t2
+        GROUP BY e.user_id)
+SELECT f1.user_id,
+       CAST(f1.t1 AS BIGINT) AS t1_us,
+       CAST(coalesce(f2.t2, -1) AS BIGINT) AS t2_us,
+       CAST(coalesce(f3.t3, -1) AS BIGINT) AS t3_us,
+       CAST(1 + (CASE WHEN f2.t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN f3.t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS reached
+FROM fn1 f1
+LEFT JOIN fn2 f2 ON f2.user_id = f1.user_id
+LEFT JOIN fn3 f3 ON f3.user_id = f1.user_id
+"""
+
+
+def minhash_jaccard_est_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch-quality table (operators/dedup.py:
+    minhash_jaccard_estimates — the hll_distinct pattern for Jaccard):
+    per LSH candidate pair, the 8-hash signature-agreement estimate
+    next to the EXACT shingle-set Jaccard and the signed error, both
+    in e4 fixed-point. Exact Jaccard runs on candidates only (the
+    heavy_hitters verify-on-candidates shape) — the all-pairs exact
+    join this measurement exists to justify avoiding."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_jaccard_estimates(docs, num_hashes=8, rows_per_band=2, k=3)
+
+
+_MJ_AGREE = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+MINHASH_JACCARD_SQL = _LSH_CTES + f"""
+, mjsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+mjin AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS inter
+         FROM lsh_pairs p
+         JOIN sh a ON a.doc_id = p.doc_a
+         JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+         GROUP BY p.doc_a, p.doc_b),
+mjag AS (SELECT p.doc_a, p.doc_b, CAST({_MJ_AGREE} AS BIGINT) AS n_agree
+         FROM lsh_pairs p
+         JOIN sig sa ON sa.doc_id = p.doc_a
+         JOIN sig sb ON sb.doc_id = p.doc_b)
+SELECT g.doc_a, g.doc_b, g.n_agree,
+       CAST((g.n_agree * 10000) // 8 AS BIGINT) AS est_e4,
+       CAST((coalesce(i.inter, 0) * 10000)
+            // (za.sz + zb.sz - coalesce(i.inter, 0)) AS BIGINT) AS exact_e4,
+       CAST((g.n_agree * 10000) // 8
+            - (coalesce(i.inter, 0) * 10000)
+              // (za.sz + zb.sz - coalesce(i.inter, 0)) AS BIGINT) AS err_e4
+FROM mjag g
+LEFT JOIN mjin i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+JOIN mjsz za ON za.doc_id = g.doc_a
+JOIN mjsz zb ON zb.doc_id = g.doc_b
+"""
+
+
 # ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
 # checks only the FIRST 50 entries of this dict (insertion order), so the
 # window below is a deliberate rotation, pinned by
@@ -4417,6 +4559,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_pairs": tfidf_pairs_q,
     "record_linkage": record_linkage_q,
     "collocations": collocations_q,
+    "triangle_count": triangle_count_q,
+    "funnel_conversion": funnel_conversion_q,
+    "minhash_jaccard_est": minhash_jaccard_est_q,
     # --- (b') new in round 4, kept in-window per VERDICT r4 item 3
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
@@ -4430,17 +4575,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (d) r03-only block (last driver-checked r03), oldest-first fill
     "running_customer_revenue": running_customer_revenue,
     "money_normalize": money_normalize,
-    "source_router": source_router,
     "first_seen_event_types": first_seen_event_types,
-    "dedup_keepfirst": dedup_keepfirst,
     "minhash_signatures": minhash_signatures_q,
     "simhash_near_pairs": simhash_near_pairs,
     "props_parse": props_parse,
-    "lang_id_heuristic": lang_id_heuristic,
     "contamination_check": contamination_check_q,
     "pack_assignments": pack_assignments_q,
     "shuffle_order": shuffle_order_q,
     # ---------------------- position 51+ -------------------------------
+    # late-r5 displacements by the never-checked triangle_count /
+    # funnel_conversion / minhash_jaccard_est block: source_router
+    # (r03-green; routing family in-window via extract_routing_check),
+    # dedup_keepfirst (r03-green; keep-first family in-window via
+    # url_dedup's keep-first hash agg), lang_id_heuristic (r03-green;
+    # per-language family in-window via ccnet_buckets). All three head
+    # the r6 refill alongside the earlier-displaced block below.
+    "source_router": source_router,
+    "dedup_keepfirst": dedup_keepfirst,
+    "lang_id_heuristic": lang_id_heuristic,
     # r6-rotation head: entries cut by the 50-cap — displaced by the
     # round-5-new block, which takes priority (a new entry is
     # NEVER-checked; a displaced one is r03/r04-green with same-family
@@ -4605,6 +4757,9 @@ ORACLE_SQL: dict[str, str] = {
     "range_join": RANGE_JOIN_SQL,
     "proximity_search": PROXIMITY_SEARCH_SQL,
     "pagerank": PAGERANK_SQL,
+    "triangle_count": TRIANGLE_SQL,
+    "funnel_conversion": FUNNEL_SQL,
+    "minhash_jaccard_est": MINHASH_JACCARD_SQL,
     "tfidf_pairs": TFIDF_PAIRS_SQL,
     "record_linkage": RECORD_LINKAGE_SQL,
     "collocations": COLLOCATIONS_SQL,

@@ -367,6 +367,90 @@ def lsh_candidate_pairs(
     return out
 
 
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Sketch-quality table for MinHash (the hll_distinct pattern applied
+    to Jaccard): for every LSH candidate pair, the signature-agreement
+    ESTIMATE next to the EXACT shingle-set Jaccard and the signed error —
+    the measurement that justifies (num_hashes, rows_per_band) choices
+    before a 100 TB dedup run is launched.
+
+    est_e4   = (#{i: h_i(a) = h_i(b)} * 10000) DIV num_hashes
+               (E[est] = J by the MinHash property, Broder 1997)
+    exact_e4 = (|A ∩ B| * 10000) DIV (|A| + |B| - |A ∩ B|)
+    err_e4   = est_e4 - exact_e4
+
+    Scale shape: the quadratic stage is the banded LSH self-join (already
+    bounded); the exact pass then touches ONLY candidate docs' shingles —
+    one join keyed on doc id to attach pair membership, one on (doc,
+    shingle) for the intersection count, both partial shuffles. Exact
+    Jaccard over all pairs would be the O(n^2) plan this module exists to
+    avoid; exact-on-candidates is the audited compromise (the
+    heavy_hitters verify-on-candidates precedent). All-integer output.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    sig = sig.select("*").persist()
+    sig.count()
+    pairs = lsh_candidate_pairs(sig, num_hashes, rows_per_band)
+    agree = None
+    for i in range(num_hashes):
+        term = F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
+    )
+    est = (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", agree.cast("bigint").alias("n_agree"))
+    )
+    shing = doc_shingles(df, text_col, id_col, k)
+    sizes = shing.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = shing.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = shing.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.expr(f"(n_agree * 10000) DIV {num_hashes}").alias("est_e4"),
+            F.expr(
+                "(coalesce(inter, 0) * 10000) DIV (sza + szb - coalesce(inter, 0))"
+            ).alias("exact_e4"),
+            F.expr(
+                f"(n_agree * 10000) DIV {num_hashes}"
+                " - (coalesce(inter, 0) * 10000) DIV (sza + szb - coalesce(inter, 0))"
+            ).alias("err_e4"),
+        )
+        # eager result frame so the signature cache can be released NOW —
+        # a lazy return would recompute the shingle pipeline per join side
+        # after the unpersist (the lsh_candidate_pairs discipline)
+        .localCheckpoint(eager=True)
+    )
+    sig.unpersist()
+    return out
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash over tokens (with multiplicity): per bit b, sum of +-1 by
     whether md5-int(token) has bit b set; simhash sets bit b iff sum > 0.

@@ -139,3 +139,93 @@ def pagerank(
         if checkpoint_every and it % checkpoint_every == 0 and it < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("pr").alias("rank"))
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set from directed (src, dst) edges:
+    (u, v) with u < v, self-loops dropped, multi-edges collapsed."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_counts(und: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient via
+    degree-ordered orientation (Cohen 2009; Suri & Vassilvitskii 2011 —
+    the MapReduce triangle-enumeration standard).
+
+    Each undirected edge {a, b} is oriented from the endpoint that is
+    SMALLER under the total order (degree, node) toward the larger; a
+    triangle {a < b < c} under that order then appears exactly once, as
+    the wedge (a->b, a->c) closed by the oriented edge (b->c). The
+    orientation is the whole scale story: every node's oriented
+    out-degree is O(sqrt(m)) regardless of its true degree, so the wedge
+    self-join fan-out is bounded even for celebrity nodes — the naive
+    neighbor self-join is O(d_max^2) per hot node and dies exactly where
+    web link graphs are skewed. Three hash joins total (orient, wedge,
+    close), all partial shuffles on bigint keys; no global window, no
+    collect. All-integer output, so the DuckDB oracle replays it exactly.
+
+    Input: (u, v) canonical undirected edges (see undirected_edges).
+    Output: (node, degree, n_triangles, lcc_e6) for every node with
+    degree >= 1, where lcc_e6 = (2 * T * 10^6) DIV (deg * (deg - 1))
+    (0 when deg < 2) — the local clustering coefficient in fixed-point.
+    """
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = und.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    # explicit lexicographic (deg, node) compare — identical spelling on
+    # both engines, no struct-comparison semantics to trust
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).localCheckpoint(eager=True)  # feeds three join sides below
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.a") == F.col("o2.a"))
+        .where(
+            (F.col("o1.db") < F.col("o2.db"))
+            | ((F.col("o1.db") == F.col("o2.db")) & (F.col("o1.b") < F.col("o2.b")))
+        )
+        .select(
+            F.col("o1.a").alias("t1"),
+            F.col("o1.b").alias("t2"),
+            F.col("o2.b").alias("t3"),
+        )
+    )
+    closer = oriented.select(F.col("a").alias("t2"), F.col("b").alias("t3"))
+    tris = wedges.join(closer, ["t2", "t3"])
+    per_node = (
+        tris.select(F.col("t1").alias("node"))
+        .unionAll(tris.select(F.col("t2").alias("node")))
+        .unionAll(tris.select(F.col("t3").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("deg").cast("bigint").alias("degree"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.expr("(2 * coalesce(n_tri, 0) * 1000000) DIV (deg * (deg - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("lcc_e6"),
+    )

@@ -161,3 +161,60 @@ def range_join(
         )
         .drop("__b")
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "t",
+) -> DataFrame:
+    """Strictly-ordered funnel conversion (the product-analytics staple;
+    same semantics as ClickHouse windowFunnel in strict_order-less mode
+    with an unbounded window): per user, t1 = min time of stages[0],
+    t_i = min time of stages[i-1] events STRICTLY AFTER t_{i-1}. A user
+    reaches stage i iff t_i exists.
+
+    Distributed shape: one conditional min-agg per stage plus one
+    user-keyed join back — every shuffle is on the user key and every
+    aggregation is partial-aggregable, so a hot user costs one combiner
+    row per stage rather than the full event history in one partition
+    (the window/sort formulation's failure mode). The stage frames shrink
+    monotonically (converters only), so later joins are against
+    ever-smaller sides.
+
+    Returns one row per stage-1 user: (user, t1..tn with -1 for
+    not-reached, reached = highest stage index attained). Strict `>` at
+    every hop is pinned semantics (an event at exactly t_{i-1} does not
+    convert), integer time units end-to-end.
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("et"), F.col(time_col).alias("t")
+    )
+    cur = (
+        ev.where(F.col("et") == stages[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t1"))
+    )
+    for i in range(2, len(stages) + 1):
+        prev = f"t{i - 1}"
+        nxt = (
+            ev.where(F.col("et") == stages[i - 1])
+            .join(cur.select("u", prev), "u")
+            .where(F.col("t") > F.col(prev))
+            .groupBy("u")
+            .agg(F.min("t").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, "u", "left")
+    reached = F.lit(1)
+    for i in range(2, len(stages) + 1):
+        reached = reached + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+    return cur.select(
+        F.col("u").alias(user_col),
+        *[
+            F.coalesce(F.col(f"t{i}"), F.lit(-1)).cast("bigint").alias(f"t{i}_us")
+            for i in range(1, len(stages) + 1)
+        ],
+        reached.cast("bigint").alias("reached"),
+    )

@@ -49,7 +49,7 @@ DOC_QUERIES = [
     "gopher_repetition", "shuffle_order", "heavy_hitters", "vocab_coverage",
     "hashed_classify", "alpha_mix", "hll_distinct", "hll_merge",
     "phrase_search", "proximity_search", "pagerank", "tfidf_pairs",
-    "collocations",
+    "collocations", "triangle_count", "minhash_jaccard_est",
 ]
 
 

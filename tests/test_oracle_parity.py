@@ -168,14 +168,14 @@ DRIVER_WINDOW_50 = [
     "hashed_classify", "alpha_mix", "hll_distinct", "hll_merge",
     "phrase_search", "asof_join", "range_join", "proximity_search",
     "pagerank", "tfidf_pairs", "record_linkage", "collocations",
+    "triangle_count", "funnel_conversion", "minhash_jaccard_est",
     "remove_shared_windows", "extract_order_check", "gopher_rules",
     "c4_rules", "url_dedup", "bloom_probe",
     "events_hourly", "user_sessions",
     "running_customer_revenue",
-    "money_normalize", "source_router",
-    "first_seen_event_types", "dedup_keepfirst", "minhash_signatures",
+    "money_normalize",
+    "first_seen_event_types", "minhash_signatures",
     "simhash_near_pairs", "props_parse",
-    "lang_id_heuristic",
     "contamination_check",
     "pack_assignments", "shuffle_order",
 ]
