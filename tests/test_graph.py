@@ -109,3 +109,84 @@ def test_pagerank_checkpoint_path_identical(spark):
         for r in GR.pagerank(nodes, edges, iterations=6, checkpoint_every=0).collect()
     }
     assert a == b
+
+
+def _py_triangles(und_edges):
+    """Brute-force per-node triangle counts + lcc_e6 over a canonical
+    undirected edge list — the serial reference for triangle_counts."""
+    from itertools import combinations
+
+    adj = {}
+    for u, v in und_edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = {n: 0 for n in adj}
+    for n, nbrs in adj.items():
+        for a, b in combinations(sorted(nbrs), 2):
+            if b in adj[a]:
+                tri[n] += 1
+    out = {}
+    for n, nbrs in adj.items():
+        d = len(nbrs)
+        lcc = (2 * tri[n] * 1_000_000) // (d * (d - 1)) if d >= 2 else 0
+        out[n] = (d, tri[n], lcc)
+    return out
+
+
+def test_undirected_edges_canonicalizes(spark):
+    # self-loop dropped; (u,v)+(v,u) and duplicates collapse to one u<v row
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 3), (5, 4)], "src long, dst long"
+    )
+    got = sorted((r["u"], r["v"]) for r in GR.undirected_edges(edges).collect())
+    assert got == [(1, 2), (4, 5)]
+
+
+def test_triangle_counts_match_brute_force(spark):
+    # K4 (every node in 3 triangles, lcc=1) + a pendant off node 0 + a
+    # disjoint path 10-11-12 (zero triangles, lcc 0 for the middle node)
+    und = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(0, 9)]
+        + [(10, 11), (11, 12)]
+    )
+    df = spark.createDataFrame(und, "u long, v long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["lcc_e6"])
+        for r in GR.triangle_counts(df).collect()
+    }
+    assert got == _py_triangles(und)
+    # spot-pins: interior K4 node fully clustered; pendant 9 deg-1 row
+    # present with zeros; path middle node has neighbors but no closure
+    assert got[1] == (3, 3, 1_000_000)
+    assert got[9] == (1, 0, 0)
+    assert got[11] == (2, 0, 0)
+
+
+def test_triangle_counts_hub_skew_shape(spark):
+    # star hub of degree 20 + one closing rim edge: exactly ONE triangle,
+    # counted once for each corner — the degree-ordered orientation must
+    # not double-count around the hub (the naive wedge join's failure)
+    und = [(0, i) for i in range(1, 21)] + [(1, 2)]
+    df = spark.createDataFrame(und, "u long, v long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["lcc_e6"])
+        for r in GR.triangle_counts(df).collect()
+    }
+    assert got == _py_triangles(und)
+    assert got[0][1] == 1 and got[1][1] == 1 and got[2][1] == 1
+    # hub lcc: 2*1*1e6 // (20*19)
+    assert got[0][2] == 2_000_000 // 380
+
+
+def test_triangle_counts_on_synth_graph_matches_brute(spark):
+    # the contract entry's graph shape: md5-synthesised links, 60 nodes
+    nodes = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    edges = GR.synth_link_graph(nodes, n_links=4, salt="tri")
+    und_df = GR.undirected_edges(edges)
+    und = [(r["u"], r["v"]) for r in und_df.collect()]
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["lcc_e6"])
+        for r in GR.triangle_counts(und_df).collect()
+    }
+    assert got == _py_triangles(und)

@@ -3182,3 +3182,133 @@ def test_salted_join_equals_plain_and_spreads_hot_key(spark):
     # unmatched dim row once per salt copy
     with _pt.raises(ValueError, match="big-side-preserving"):
         salted_join(big, dim, "k", "row_id", n_salts=16, how="full")
+
+
+def test_funnel_strict_order_semantics(spark):
+    """Funnel conversion: strict > at every hop (an event at exactly
+    t_prev does NOT convert), -1 sentinels, reached = highest stage,
+    users with no stage-1 event excluded, out-of-order input immaterial
+    (min-agg formulation)."""
+    from samu_ocr_extraction_poc_spark.operators.temporal import funnel
+
+    rows = [
+        # u1 full conversion, with noise events interleaved
+        ("u1", "click", 50), ("u1", "view", 100), ("u1", "click", 200),
+        ("u1", "purchase", 150),  # before the click -> ignored
+        ("u1", "purchase", 300),
+        # u2: click at EXACTLY t1 -> strict > rejects; later click converts
+        ("u2", "view", 100), ("u2", "click", 100), ("u2", "click", 101),
+        # u3: view only
+        ("u3", "view", 500),
+        # u4: clicks/purchases but never views -> excluded entirely
+        ("u4", "click", 10), ("u4", "purchase", 20),
+        # u5: view then purchase with NO click -> stuck at stage 1 even
+        # though a stage-3 event exists after t1
+        ("u5", "view", 10), ("u5", "purchase", 20),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, event_type string, t bigint")
+    got = {
+        r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"], r["reached"])
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {
+        "u1": (100, 200, 300, 3),
+        "u2": (100, 101, -1, 2),
+        "u3": (500, -1, -1, 1),
+        "u5": (10, -1, -1, 1),
+    }
+
+
+def test_funnel_two_stage_and_plan_shape(spark):
+    """Two-stage funnel + plan audit: the aggregation path must be
+    partial-aggregable (HashAggregate, no Window/Sort-per-user operator
+    — a hot user must never force its whole history into one partition)."""
+    from samu_ocr_extraction_poc_spark.operators.temporal import funnel
+
+    rows = [("u1", "a", 1), ("u1", "b", 2), ("u2", "a", 5)]
+    ev = spark.createDataFrame(rows, "user_id string, event_type string, t bigint")
+    out = funnel(ev, ["a", "b"])
+    got = {
+        r["user_id"]: (r["t1_us"], r["t2_us"], r["reached"]) for r in out.collect()
+    }
+    assert got == {"u1": (1, 2, 2), "u2": (5, -1, 1)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def _py_minhash_audit(texts, num_hashes=8, k=3):
+    """Serial replay of minhash_jaccard_estimates' arithmetic: normalized
+    k-shingles (try_element_at clamp at the tail), 28-bit md5 base hash,
+    the (a_i x + b_i) mod M31 family, integer e4 fixed-point."""
+    import hashlib
+    import re
+
+    P = (1 << 31) - 1
+
+    def sh(text):
+        toks = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+        n = len(toks)
+        out = []
+        for i in range(1, max(n - (k - 1), 1) + 1):
+            parts = [toks[i + j - 1] for j in range(k) if i + j - 1 < n]
+            out.append(" ".join(parts))
+        return set(out)
+
+    def sig(shingle_set):
+        xs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in shingle_set
+        ]
+        return [
+            min(((1 + 2 * i) * x + 7919 * (i + 1)) % P for x in xs)
+            for i in range(num_hashes)
+        ]
+
+    shs = {d: sh(t) for d, t in texts.items()}
+    sigs = {d: sig(s) for d, s in shs.items()}
+
+    def audit(a, b):
+        n_agree = sum(1 for i in range(num_hashes) if sigs[a][i] == sigs[b][i])
+        inter = len(shs[a] & shs[b])
+        union = len(shs[a]) + len(shs[b]) - inter
+        est = (n_agree * 10000) // num_hashes
+        exact = (inter * 10000) // union
+        return (n_agree, est, exact, est - exact)
+
+    return audit
+
+
+def test_minhash_jaccard_estimates_match_replay(spark):
+    """Sketch-audit table vs the serial replay: identical docs pin
+    est=exact=10000/err=0; near-dups carry the exact integer Jaccard and
+    the signed estimator error; an unrelated doc never reaches the
+    candidate set (LSH banding filters it)."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import (
+        minhash_jaccard_estimates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    texts = {
+        1: base,
+        2: base,  # exact duplicate of 1
+        3: base + " with one extra tail clause appended here",  # near-dup
+        4: "completely different content about spark shuffle partitions "
+           "and catalyst optimizer rules with no shared shingles at all",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_agree"], r["est_e4"], r["exact_e4"], r["err_e4"]
+        )
+        for r in minhash_jaccard_estimates(
+            df, num_hashes=8, rows_per_band=2, k=3
+        ).collect()
+    }
+    audit = _py_minhash_audit(texts, num_hashes=8, k=3)
+    # every emitted pair matches the serial arithmetic exactly
+    for (a, b), vals in got.items():
+        assert vals == audit(a, b), (a, b)
+    # the exact-duplicate pair is a guaranteed candidate (all bands agree)
+    assert got[(1, 2)] == (8, 10000, 10000, 0)
+    # doc 4 shares no shingles with anyone: if banding ever surfaced it,
+    # exact_e4 would be 0 — it must simply be absent
+    assert not any(4 in pair for pair in got)
