@@ -130,6 +130,22 @@ HEADLINE = [
     # word2vec phrase scores (staged-integer PMI; two counts + two
     # vocabulary joins + TakeOrdered)
     "collocations",
+    # degree-ordered exact triangle enumeration (3 bounded hash joins)
+    "triangle_count",
+    # per-stage conditional min-aggs + user-keyed joins (no window)
+    "funnel_conversion",
+    # sketch-quality audit: LSH candidates + exact-on-candidates Jaccard
+    "minhash_jaccard_est",
+    # first-seen cohort matrix: distinct + min-agg + user-keyed join
+    "cohort_retention",
+    # Deequ-style single-pass per-column profile (long-form two-level agg)
+    "table_profile",
+    # md5-salted hot-key join, value-transparent vs the plain join
+    "salted_join_check",
+    # integer bit-shift time-decay trending (one partial-aggregable sum)
+    "decayed_topics",
+    # rolling 7-day distinct actives via constant-fan-out replication
+    "sliding_active_users",
 ]
 
 

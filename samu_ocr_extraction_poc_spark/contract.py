@@ -4504,6 +4504,209 @@ JOIN mjsz zb ON zb.doc_id = g.doc_b
 """
 
 
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/temporal.py:cohort_retention —
+    funnel_conversion's sibling): users cohorted by first active day,
+    each (cohort_day, age_days) cell = active-again count + e4 retention
+    rate. No window: distinct (user, day) + min-agg + user-keyed join +
+    count — every shuffle partial-aggregable on the user key, cohort
+    sizes a timespan-bounded side. All-integer (days = µs DIV day,
+    rate = active*10000 DIV cohort_users)."""
+    from .operators import temporal as TP
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    return TP.cohort_retention(ev, user_col="user_id", time_col="t")
+
+
+COHORT_SQL = """
+WITH cract AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+               FROM events),
+crch AS (SELECT u, min(d) AS cd FROM cract GROUP BY u),
+crsz AS (SELECT cd, CAST(count(*) AS BIGINT) AS cohort_users FROM crch GROUP BY cd),
+crcell AS (SELECT c.cd, a.d - c.cd AS age_days, CAST(count(*) AS BIGINT) AS active_users
+           FROM cract a JOIN crch c ON c.u = a.u
+           GROUP BY c.cd, a.d - c.cd)
+SELECT l.cd AS cohort_day,
+       CAST(l.age_days AS BIGINT) AS age_days,
+       l.active_users,
+       s.cohort_users,
+       CAST((l.active_users * 10000) // s.cohort_users AS BIGINT) AS retention_e4
+FROM crcell l JOIN crsz s ON s.cd = l.cd
+"""
+
+
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile over orders (operators/profile.py:
+    table_profile — the Deequ-style ingest audit): per column one row of
+    (n_rows, n_null, n_distinct, min, max), exact. The single long-form
+    pass + two-level agg replaces k count-distinct shuffles (or one
+    EXPAND feeding a non-partial distinct). Columns projected to
+    deterministic string forms first per the contract conventions (date
+    via DATE cast, money via DECIMAL(12,2)); a deterministic NULL
+    injection on priority (o_orderkey % 97) keeps n_null non-vacuous —
+    the driver corpus has no natural NULLs."""
+    from .operators import profile as PR
+
+    _utc(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("okey"),
+        F.col("o_custkey").cast("string").alias("ckey"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        F.col("o_orderdate").cast("date").cast("string").alias("odate"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("oprice"),
+    )
+    return PR.table_profile(o, ["okey", "ckey", "status", "priority", "odate", "oprice"])
+
+
+TABLE_PROFILE_SQL = """
+WITH tplong AS (
+  SELECT 'okey' AS col_name, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+  UNION ALL
+  SELECT 'ckey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'status', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'priority',
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderpriority END
+  FROM orders
+  UNION ALL
+  SELECT 'odate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'oprice', CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) FROM orders)
+SELECT col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(val) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+       min(val) AS min_val,
+       max(val) AS max_val
+FROM tplong
+GROUP BY col_name
+"""
+
+
+def salted_join_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join under the driver gate (operators/skew.py:
+    salted_join): orders get a manufactured hot key — every 4th order
+    collapses onto custkey 0, putting ~25% of the fact side on one key —
+    and the customer join runs through the md5-deterministic salt
+    (16-way spread, dim replicated per salt). The per-nation revenue
+    aggregate equals the plain join's EXACTLY (the operator's value-
+    transparency contract); the oracle IS the plain join, so the gate
+    proves salting changes layout, never values. Money via the q1
+    DECIMAL idiom."""
+    from .operators import skew as SK
+
+    _utc(spark)
+    big = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("o_custkey"))
+        .alias("ck"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), "c_nationkey"
+    )
+    j = SK.salted_join(big, dim, key_col="ck", salt_src_col="o_orderkey", n_salts=16)
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .cast("string")
+        .alias("revenue"),
+    )
+
+
+SALTED_JOIN_SQL = """
+WITH sjb AS (SELECT CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE o_custkey END AS ck,
+                    o_totalprice
+             FROM orders)
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CAST(sum(CAST(b.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS revenue
+FROM sjb b JOIN customer c ON c.c_custkey = b.ck
+GROUP BY c.c_nationkey
+"""
+
+
+def decayed_topics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay trending per event_type (operators/
+    temporal.py:decayed_counts): each event contributes 10000 >> age_days
+    — a one-day half-life as an exact integer BIT SHIFT, never
+    pow(0.5, age) (FP drifts cross-engine). One partial-aggregable SUM on
+    the group key; no window, no sort. The anchor ("now") is the data's
+    max day, collected once driver-side (the alpha_mix bounded-scalar
+    precedent) so the scoring plan itself carries no global max-scan."""
+    from .operators import temporal as TP
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    anchor = ev.select(
+        F.max(F.expr("t DIV 86400000000")).alias("m")
+    ).collect()[0]["m"]
+    # empty events -> max is NULL; any anchor gives the same empty result
+    return TP.decayed_counts(
+        ev, anchor_day=int(anchor) if anchor is not None else 0,
+        group_col="event_type",
+    )
+
+
+DECAYED_SQL = """
+WITH dtev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d FROM events),
+dtanchor AS (SELECT max(d) AS m FROM dtev)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(10000 AS BIGINT)
+                >> CAST(least((SELECT m FROM dtanchor) - d, 62) AS INT))
+            AS BIGINT) AS decayed_score
+FROM dtev
+WHERE d <= (SELECT m FROM dtanchor)
+GROUP BY event_type
+"""
+
+
+def sliding_active_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-active-users (operators/temporal.py:
+    sliding_active_users — the DAU/WAU stickiness table): a sliding
+    count-distinct WITHOUT a window function — each distinct (user, day)
+    fact replicates to the 7 report days it supports (constant fan-out,
+    the range_join replication idea), dedups, and counts; DAU joins back
+    for the e4 stickiness ratio. Every stage partial-aggregable."""
+    from .operators import temporal as TP
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    return TP.sliding_active_users(ev, window_days=7)
+
+
+SLIDING_AU_SQL = """
+WITH sact AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+              FROM events),
+sdau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM sact GROUP BY d),
+srep AS (SELECT DISTINCT u, d + g.x AS rd
+         FROM sact, (SELECT unnest(range(0, 7)) AS x) g),
+swau AS (SELECT rd, CAST(count(*) AS BIGINT) AS wau FROM srep GROUP BY rd)
+SELECT w.rd AS day,
+       CAST(coalesce(dd.dau, 0) AS BIGINT) AS dau,
+       w.wau,
+       CAST((coalesce(dd.dau, 0) * 10000) // w.wau AS BIGINT) AS stickiness_e4
+FROM swau w LEFT JOIN sdau dd ON dd.d = w.rd
+"""
+
+
 # ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
 # checks only the FIRST 50 entries of this dict (insertion order), so the
 # window below is a deliberate rotation, pinned by
@@ -4562,6 +4765,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": triangle_count_q,
     "funnel_conversion": funnel_conversion_q,
     "minhash_jaccard_est": minhash_jaccard_est_q,
+    "cohort_retention": cohort_retention_q,
+    "table_profile": table_profile_q,
+    "salted_join_check": salted_join_check_q,
+    "decayed_topics": decayed_topics_q,
+    "sliding_active_users": sliding_active_users_q,
     # --- (b') new in round 4, kept in-window per VERDICT r4 item 3
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
@@ -4570,19 +4778,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup": url_dedup_q,
     "bloom_probe": bloom_probe_q,
     # --- (c) stalest: last driver-checked in r02
-    "events_hourly": events_hourly,
     "user_sessions": user_sessions,
     # --- (d) r03-only block (last driver-checked r03), oldest-first fill
-    "running_customer_revenue": running_customer_revenue,
-    "money_normalize": money_normalize,
-    "first_seen_event_types": first_seen_event_types,
-    "minhash_signatures": minhash_signatures_q,
     "simhash_near_pairs": simhash_near_pairs,
     "props_parse": props_parse,
     "contamination_check": contamination_check_q,
     "pack_assignments": pack_assignments_q,
     "shuffle_order": shuffle_order_q,
     # ---------------------- position 51+ -------------------------------
+    # final-r5 displacements by the never-checked cohort_retention /
+    # table_profile / salted_join_check / decayed_topics /
+    # sliding_active_users block: money_normalize (r03-green;
+    # money-rendering family in-window via salted_join_check's q1 DECIMAL
+    # idiom), first_seen_event_types (r03-green; first-seen family
+    # in-window via cohort_retention, which IS a first-seen derivative,
+    # + funnel_conversion/user_sessions), minhash_signatures (r03-green;
+    # signature family in-window via minhash_jaccard_est, which computes
+    # the same signatures), running_customer_revenue (r03-green; the
+    # rolling-aggregate family in-window via sliding_active_users — the
+    # same trailing-window semantics without the window operator — and
+    # the serial-window proof shape via shuffle_order's oracle),
+    # events_hourly (r02-stale; the time-bucketed event-agg family
+    # in-window via decayed_topics + sliding_active_users + cohort_
+    # retention, all day-bucket aggs over the same table and µs
+    # convention). All five head the r6 refill.
+    "money_normalize": money_normalize,
+    "first_seen_event_types": first_seen_event_types,
+    "minhash_signatures": minhash_signatures_q,
+    "running_customer_revenue": running_customer_revenue,
+    "events_hourly": events_hourly,
     # late-r5 displacements by the never-checked triangle_count /
     # funnel_conversion / minhash_jaccard_est block: source_router
     # (r03-green; routing family in-window via extract_routing_check),
@@ -4760,6 +4984,11 @@ ORACLE_SQL: dict[str, str] = {
     "triangle_count": TRIANGLE_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "minhash_jaccard_est": MINHASH_JACCARD_SQL,
+    "cohort_retention": COHORT_SQL,
+    "table_profile": TABLE_PROFILE_SQL,
+    "salted_join_check": SALTED_JOIN_SQL,
+    "decayed_topics": DECAYED_SQL,
+    "sliding_active_users": SLIDING_AU_SQL,
     "tfidf_pairs": TFIDF_PAIRS_SQL,
     "record_linkage": RECORD_LINKAGE_SQL,
     "collocations": COLLOCATIONS_SQL,

@@ -163,6 +163,189 @@ def range_join(
     )
 
 
+def decayed_counts(
+    events: DataFrame,
+    anchor_day: int,
+    group_col: str = "event_type",
+    time_col: str = "t",
+    bucket_us: int = DAY_US,
+    scale: int = 10_000,
+    max_age: int = 62,
+) -> DataFrame:
+    """Exponential time-decay trending score per group (the Hacker-News/
+    Reddit "hot" ranking reduced to exact integer arithmetic): each event
+    contributes ``scale >> age_days`` — a half-life of exactly one day —
+    so the score is a single partial-aggregable SUM with map-side
+    combine; no window, no sort, one shuffle on the group key.
+
+    The decay is a BIT SHIFT, not ``pow(0.5, age)``: both engines shift
+    BIGINTs exactly, while the FP power drifts cross-engine. Ages clamp
+    to ``max_age`` (62 keeps the shift defined on a 64-bit lane on both
+    engines; contributions are 0 long before that). ``anchor_day`` is
+    "now" and must be supplied by the caller — deriving it inside would
+    put a global max-scan (a 1-row SinglePartition) in every plan;
+    callers that want the data's own horizon collect max(day) once
+    driver-side (the alpha_mix precedent: one bounded scalar, embedded
+    as a literal).
+    """
+    if not 0 <= max_age <= 62:
+        raise ValueError(
+            f"decayed_counts: max_age must be in [0, 62], got {max_age} — "
+            "JVM shiftright takes shift counts mod 64, so an out-of-range "
+            "clamp would wrap silently instead of erroring"
+        )
+    if scale <= 0:
+        raise ValueError(f"decayed_counts: scale must be positive, got {scale}")
+    ev = events.select(
+        F.col(group_col).alias("g"),
+        F.expr(f"{time_col} DIV {bucket_us}").cast("bigint").alias("d"),
+    )
+    return (
+        ev.where(F.col("d") <= anchor_day)
+        .select(
+            "g",
+            F.expr(
+                f"shiftright(CAST({scale} AS BIGINT), "
+                f"CAST(least({anchor_day} - d, {max_age}) AS INT))"
+            ).alias("contrib"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("contrib").cast("bigint").alias("decayed_score"),
+        )
+        .select(F.col("g").alias(group_col), "n_events", "decayed_score")
+    )
+
+
+def sliding_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    time_col: str = "t",
+    bucket_us: int = DAY_US,
+    eager: bool = True,
+) -> DataFrame:
+    """Rolling distinct-active-user counts — the DAU/WAU stickiness table
+    — WITHOUT a window function: a sliding count-distinct window would
+    need every user's full history sorted per partition; instead each
+    distinct (user, day) fact is replicated to the ``window_days`` report
+    days it supports (bounded ×7 fan-out, the range_join replication
+    idea), deduped, and counted.
+
+    Plan: distinct (user, day) → explode to (user, report_day) →
+    distinct → count per report_day, joined back to the per-day DAU
+    agg. Every stage is partial-aggregable; the replication factor is a
+    CONSTANT (window_days), never data-dependent. Report days run
+    through ``last_activity + window_days - 1`` (a trailing window's
+    natural tail — counts decay to 0 past the horizon); DAU is 0 on
+    report days with no same-day activity. stickiness_e4 =
+    dau*10000 DIV wau, the classic ratio, exact integer.
+
+    The distinct (user, day) frame feeds BOTH the DAU agg and the
+    replication, so ``eager=True`` (default) localCheckpoints it once
+    instead of re-running the scan + distinct shuffle per consumer;
+    ``eager=False`` keeps the full declarative lineage (the dedup-ops
+    plan-inspection convention).
+    """
+    if window_days < 1:
+        raise ValueError(
+            f"sliding_active_users: window_days must be >= 1, got "
+            f"{window_days} — sequence(d, d + {window_days - 1}) would "
+            "DESCEND and fabricate report days before the activity"
+        )
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"{time_col} DIV {bucket_us}").cast("bigint").alias("d"),
+    ).distinct()
+    if eager:
+        ev = ev.localCheckpoint(eager=True)
+    dau = ev.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+    wau = (
+        ev.select(
+            "u",
+            F.explode(
+                F.sequence(F.col("d"), F.col("d") + F.lit(window_days - 1))
+            ).alias("rd"),
+        )
+        .distinct()
+        .groupBy("rd")
+        .agg(F.count("*").cast("bigint").alias("wau"))
+    )
+    return (
+        wau.join(dau, wau["rd"] == dau["d"], "left")
+        .select(
+            F.col("rd").cast("bigint").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).cast("bigint").alias("dau"),
+            F.col("wau"),
+            F.expr("coalesce(dau, 0) * 10000 DIV wau").cast("bigint").alias(
+                "stickiness_e4"
+            ),
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "t",
+    bucket_us: int = DAY_US,
+    eager: bool = True,
+) -> DataFrame:
+    """Cohort retention matrix (the other product-analytics staple next
+    to :func:`funnel`): users are cohorted by their FIRST active day and
+    each (cohort_day, age_days) cell counts how many of that cohort were
+    active again ``age_days`` later, plus the e4 fixed-point retention
+    rate.
+
+    Distributed shape — no window anywhere:
+
+    1. activity = distinct (user, day): a partial-aggregable dedup (a
+       hot user's duplicate same-day events collapse map-side);
+    2. cohort day = min-agg per user (partial-aggregable);
+    3. activity ⋈ cohort on the user key (hash join on the same key the
+       previous two shuffles used — co-partitioned under AQE);
+    4. the cell count is a plain count(*): (user, day) is already
+       distinct and ``day = cohort_day + age``, so each user contributes
+       at most one row per cell — count == distinct-user count with no
+       second distinct pass;
+    5. cohort sizes (one row per day — timespan-bounded, broadcast
+       territory) join back for the rate.
+
+    All-integer: days are ``t DIV bucket_us``, the rate is
+    ``active*10000 DIV cohort_users``. Age 0 is the cohort itself
+    (retention_e4 = 10000 by construction — pinned by test).
+
+    ``active`` feeds two consumers and ``cohort`` feeds two more, so
+    ``eager=True`` (default) localCheckpoints both once instead of
+    re-running the scan + shuffles per consumer; ``eager=False`` keeps
+    the declarative lineage (the dedup-ops plan-inspection convention).
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"{time_col} DIV {bucket_us}").cast("bigint").alias("d"),
+    )
+    active = ev.distinct()
+    if eager:
+        active = active.localCheckpoint(eager=True)
+    cohort = active.groupBy("u").agg(F.min("d").alias("cd"))
+    if eager:
+        cohort = cohort.localCheckpoint(eager=True)
+    sizes = cohort.groupBy("cd").agg(F.count("*").alias("cohort_users"))
+    cells = (
+        active.join(cohort, "u")
+        .groupBy("cd", (F.col("d") - F.col("cd")).alias("age_days"))
+        .agg(F.count("*").alias("active_users"))
+    )
+    return cells.join(sizes, "cd").select(
+        F.col("cd").alias("cohort_day"),
+        F.col("age_days").cast("bigint").alias("age_days"),
+        F.col("active_users").cast("bigint").alias("active_users"),
+        F.col("cohort_users").cast("bigint").alias("cohort_users"),
+        F.expr("active_users * 10000 DIV cohort_users").alias("retention_e4"),
+    )
+
+
 def funnel(
     events: DataFrame,
     stages: list[str],

@@ -169,12 +169,11 @@ DRIVER_WINDOW_50 = [
     "phrase_search", "asof_join", "range_join", "proximity_search",
     "pagerank", "tfidf_pairs", "record_linkage", "collocations",
     "triangle_count", "funnel_conversion", "minhash_jaccard_est",
+    "cohort_retention", "table_profile", "salted_join_check",
+    "decayed_topics", "sliding_active_users",
     "remove_shared_windows", "extract_order_check", "gopher_rules",
     "c4_rules", "url_dedup", "bloom_probe",
-    "events_hourly", "user_sessions",
-    "running_customer_revenue",
-    "money_normalize",
-    "first_seen_event_types", "minhash_signatures",
+    "user_sessions",
     "simhash_near_pairs", "props_parse",
     "contamination_check",
     "pack_assignments", "shuffle_order",
