@@ -146,6 +146,14 @@ HEADLINE = [
     "decayed_topics",
     # rolling 7-day distinct actives via constant-fan-out replication
     "sliding_active_users",
+    # hot-join-key detector: partial-agg count + broadcast totals + top-k
+    "skew_audit",
+    # CMS inner-product join-cardinality estimate vs the exact count-product
+    "cms_join_size",
+    # z-order layout audit: Morton cells + one bounded-cardinality groupBy
+    "zorder_layout",
+    # per-language HLL registers + grouped staged-integer estimate read-off
+    "grouped_hll",
 ]
 
 

@@ -4707,6 +4707,262 @@ FROM swau w LEFT JOIN sdau dd ON dd.d = w.rd
 """
 
 
+def skew_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report (operators/skew.py:skew_audit — the
+    DETECTOR in front of salted_join_check's FIX): the same manufactured
+    hot key — every 4th order collapses onto custkey 0 — runs through
+    the audit, which must surface key 0 at ~25% corpus share
+    (share_e4 ~ 2500, xmean_e4 ~ n_keys*2500, is_hot=1) amid a uniform
+    tail. One partial-aggregable groupBy/count (the audit never suffers
+    the skew it measures — the hot key collapses map-side), a broadcast
+    1-row totals frame, TakeOrderedAndProject top-20; no window. The
+    (cnt DESC, key ASC) order is total, so the top-k SET is
+    deterministic on both engines."""
+    from .operators import skew as SK
+
+    big = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("o_custkey"))
+        .alias("ck")
+    )
+    return SK.skew_audit(big, "ck", top_k=20, hot_share_e4=100)
+
+
+SKEW_AUDIT_SQL = """
+WITH ska0 AS (SELECT CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE o_custkey END AS key
+              FROM orders),
+skac AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt FROM ska0 GROUP BY key),
+skat AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                CAST(count(*) AS BIGINT) AS n_keys
+         FROM skac)
+SELECT key, cnt,
+       CAST(cnt * 10000 // total AS BIGINT) AS share_e4,
+       CAST(cnt * n_keys * 10000 // total AS BIGINT) AS xmean_e4,
+       total, n_keys,
+       CAST(CASE WHEN cnt * 10000 // total >= 100 THEN 1 ELSE 0 END AS INT) AS is_hot
+FROM skac, skat
+ORDER BY cnt DESC, key ASC
+LIMIT 20
+"""
+
+
+def cms_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches (operators/sketch.py:
+    cms_inner_product; Cormode & Muthukrishnan 2005 §4.2): estimate
+    |orders ⋈ customer on custkey| — the SIZE of exactly the join
+    salted_join_check executes, hot key included — as the CMS inner
+    product min_d sum_c A[d,c]*B[d,c], next to the EXACT size computed
+    from the two per-key count tables (sum of count products — the join
+    size without materializing the join). The planner probe that decides
+    broadcast-vs-shuffle or flags a blow-up join before paying for it:
+    at 100 TB the estimate costs two sketch builds + O(depth*width)
+    cells, never the join. est >= exact ALWAYS (same-cell collisions
+    only add mass — the no-undercount guarantee lifted to pairs); at
+    width 512 the ~1.5k-key sf0.01 domain collides, so the overestimate
+    path is exercised, not vacuous. Hot-key-0 orders match NO customer
+    (custkeys start at 1) — the audit's hot mass is invisible to the
+    true join size but still inflates collided cells, the exact trap a
+    sketch-based planner must survive. Cells are pure md5 arithmetic —
+    bit-identical on DuckDB."""
+    from .operators import sketch as SK
+
+    keys_a = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("o_custkey"))
+        .cast("string")
+        .alias("k")
+    )
+    keys_b = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    sk_a = SK.cms_build(keys_a, "k", width=512, depth=3).localCheckpoint(eager=True)
+    sk_b = SK.cms_build(keys_b, "k", width=512, depth=3).localCheckpoint(eager=True)
+    est = SK.cms_inner_product(sk_a, sk_b, width=512, depth=3, eager=False)
+    ca = keys_a.groupBy("k").agg(F.count("*").cast("bigint").alias("ca"))
+    cb = keys_b.groupBy("k").agg(F.count("*").cast("bigint").alias("cb"))
+    exact = ca.join(cb, "k").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .cast("bigint")
+        .alias("exact")
+    )
+    return est.crossJoin(exact).select(
+        "est",
+        "exact",
+        (F.col("est") - F.col("exact")).cast("bigint").alias("err"),
+        (F.col("est") >= F.col("exact")).cast("int").alias("no_undercount"),
+    )
+
+
+CMS_JOIN_SIZE_SQL = """
+WITH cjk AS (SELECT CAST(CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE o_custkey END
+                         AS VARCHAR) AS k
+             FROM orders),
+cjd AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+cjj AS (SELECT unnest([0, 1, 2]) AS j),
+cjca AS (SELECT j AS d,
+                ('0x' || substr(md5('cms' || j || ':' || k), 1, 15))::BIGINT % 512 AS c,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM cjk CROSS JOIN cjj GROUP BY 1, 2),
+cjcb AS (SELECT j AS d,
+                ('0x' || substr(md5('cms' || j || ':' || k), 1, 15))::BIGINT % 512 AS c,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM cjd CROSS JOIN cjj GROUP BY 1, 2),
+cjdot AS (SELECT a.d, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+          FROM cjca a JOIN cjcb b ON b.d = a.d AND b.c = a.c GROUP BY a.d),
+cjest AS (SELECT CAST(coalesce(min(dot), 0) AS BIGINT) AS est FROM cjdot),
+cjea AS (SELECT k, CAST(count(*) AS BIGINT) AS ca FROM cjk GROUP BY k),
+cjeb AS (SELECT k, CAST(count(*) AS BIGINT) AS cb FROM cjd GROUP BY k),
+cjex AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS exact
+         FROM cjea JOIN cjeb USING (k))
+SELECT est, exact,
+       CAST(est - exact AS BIGINT) AS err,
+       CAST(CASE WHEN est >= exact THEN 1 ELSE 0 END AS INT) AS no_undercount
+FROM cjest, cjex
+"""
+
+
+def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-layout audit (operators/storage.py:zorder_file_stats
+    — the file-skipping decision at 100 TB): orders are assigned to the
+    files a Morton-sorted write on (custkey, order day) would produce,
+    and each file reports its footer stats (min/max of both dims), its
+    true row count inside a middle-quarter 2-D query box, and whether
+    stats-based pruning would scan it. Pruning is sound by construction
+    (scan_needed=0 implies n_in_box=0 — the parity gate checks every
+    cell). Bounds and the box are collected once driver-side (the
+    decayed_topics anchor precedent); the plan is one narrow projection
+    + one bounded-cardinality groupBy (<= 64 files). Day via
+    unix_micros(cast) under the pinned UTC session (events/orders
+    parquet reads as TIMESTAMP_NTZ)."""
+    from .operators import storage as ST
+
+    _utc(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("x"),
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        ).alias("y"),
+    )
+    b = o.agg(
+        F.min("x").alias("xlo"),
+        F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"),
+        F.max("y").alias("yhi"),
+    ).collect()[0]
+    x_lo, x_hi, y_lo, y_hi = (int(b[k]) for k in ("xlo", "xhi", "ylo", "yhi"))
+    span_x, span_y = x_hi - x_lo + 1, y_hi - y_lo + 1
+    box = (
+        x_lo + span_x // 4,
+        x_lo + span_x // 2,
+        y_lo + span_y // 4,
+        y_lo + span_y // 2,
+    )
+    return ST.zorder_file_stats(
+        o, "x", "y", x_lo, x_hi, y_lo, y_hi,
+        bits=8, cells_per_file=1024, box=box,
+    )
+
+
+from .operators.storage import zorder_expr as _zorder_expr_sql  # noqa: E402
+
+ZORDER_SQL = f"""
+WITH zo0 AS (SELECT o_custkey AS x,
+                    epoch_us(o_orderdate) // 86400000000 AS y
+             FROM orders),
+zob AS (SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi,
+               max(x) - min(x) + 1 AS sx, max(y) - min(y) + 1 AS sy
+        FROM zo0),
+zobx AS (SELECT xlo, xhi, ylo, yhi, sx, sy,
+                xlo + sx // 4 AS bxlo, xlo + sx // 2 AS bxhi,
+                ylo + sy // 4 AS bylo, ylo + sy // 2 AS byhi
+         FROM zob),
+zoc AS (SELECT x, y, bxlo, bxhi, bylo, byhi,
+               (least(greatest(x, xlo), xhi) - xlo) * 256 // sx AS cx,
+               (least(greatest(y, ylo), yhi) - ylo) * 256 // sy AS cy
+        FROM zo0 CROSS JOIN zobx),
+zof AS (SELECT x, y, bxlo, bxhi, bylo, byhi,
+               CAST(({_zorder_expr_sql('cx', 'cy', 8).replace(' DIV ', ' // ')})
+                    // 1024 AS BIGINT) AS file_id
+        FROM zoc),
+zoa AS (SELECT file_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+               CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max,
+               CAST(sum(CASE WHEN x >= bxlo AND x <= bxhi
+                              AND y >= bylo AND y <= byhi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_in_box
+        FROM zof GROUP BY file_id)
+SELECT file_id, n_rows, x_min, x_max, y_min, y_max, n_in_box,
+       CAST(CASE WHEN x_min <= (SELECT bxhi FROM zobx)
+                  AND x_max >= (SELECT bxlo FROM zobx)
+                  AND y_min <= (SELECT byhi FROM zobx)
+                  AND y_max >= (SELECT bylo FROM zobx)
+                 THEN 1 ELSE 0 END AS INT) AS scan_needed
+FROM zoa
+"""
+
+
+def grouped_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE HLL distinct word-bigram counts (operators/sketch.py:
+    hll_build_grouped/hll_estimate_grouped) — hll_distinct's stratified
+    sibling and the audit a mixture designer reads before setting
+    per-source sampling rates: one partial-aggregable groupBy(lang,
+    bucket)/max to <= 5*256 register rows, then the staged-integer
+    estimate as a grouped agg (the grouped form is exactly what removes
+    hll_distinct's one allowed scalar exchange). Output carries the
+    per-group estimate, the EXACT per-group distinct (same hash domain
+    via hll_hash), and the signed error — honest stratified sketch
+    accuracy under the gate."""
+    from .operators import corpus as CP
+    from .operators import sketch as SK
+
+    items = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(CP._kgrams(F.col("text"), 2)).alias("tok")
+    )
+    est = SK.hll_estimate_grouped(
+        SK.hll_build_grouped(items, "lang", "tok"), "lang"
+    )
+    exact = (
+        items.select("lang", SK.hll_hash(F.col("tok")).alias("h"))
+        .groupBy("lang")
+        .agg(F.count_distinct("h").cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(exact, "lang").select(
+        "lang",
+        "m",
+        "occupied",
+        "n_zero",
+        "z_scaled",
+        "est",
+        "exact_distinct",
+        (F.col("est") - F.col("exact_distinct")).cast("bigint").alias("err"),
+    )
+
+
+GROUPED_HLL_SQL = """
+WITH ghn AS (SELECT lang, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+ghg AS (SELECT lang, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                     i -> array_to_string(w[i:i+1], ' '))) AS tok FROM ghn),
+ghh AS (SELECT lang, ('0x' || substr(md5('hll:' || tok), 1, 10))::BIGINT AS h FROM ghg),
+ghb AS (SELECT lang, h // 4294967296 AS bucket, h % 4294967296 AS wv FROM ghh),
+ghr AS (SELECT lang, bucket, CASE WHEN wv = 0 THEN 33 ELSE 33 - length(ltrim(bin(wv), '0')) END AS rho FROM ghb),
+ghreg AS (SELECT lang, bucket, max(rho) AS r FROM ghr GROUP BY lang, bucket),
+ghagg AS (SELECT lang, CAST(count(*) AS BIGINT) AS occupied,
+                 CAST(coalesce(sum(1::BIGINT << CAST(33 - r AS INT)), 0) AS BIGINT) AS zsum
+          FROM ghreg GROUP BY lang),
+ghz AS (SELECT lang, occupied, CAST(zsum + (256 - occupied) * (1::BIGINT << 33) AS BIGINT) AS z_scaled FROM ghagg),
+ghn1 AS (SELECT lang, occupied, z_scaled, 562949953421312 // z_scaled AS num1 FROM ghz),
+ghex AS (SELECT lang, CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct FROM ghh GROUP BY lang)
+SELECT n1.lang, CAST(256 AS BIGINT) AS m, n1.occupied,
+       CAST(256 - n1.occupied AS BIGINT) AS n_zero, n1.z_scaled,
+       CAST((num1 // 2570790) * 1846528 + ((num1 % 2570790) * 1846528) // 2570790 AS BIGINT) AS est,
+       e.exact_distinct,
+       CAST((num1 // 2570790) * 1846528 + ((num1 % 2570790) * 1846528) // 2570790
+            - e.exact_distinct AS BIGINT) AS err
+FROM ghn1 n1 JOIN ghex e ON e.lang = n1.lang
+"""
+
+
 # ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
 # checks only the FIRST 50 entries of this dict (insertion order), so the
 # window below is a deliberate rotation, pinned by
@@ -4770,22 +5026,43 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join_check": salted_join_check_q,
     "decayed_topics": decayed_topics_q,
     "sliding_active_users": sliding_active_users_q,
+    "skew_audit": skew_audit_q,
+    "cms_join_size": cms_join_size_q,
+    "zorder_layout": zorder_layout_q,
+    "grouped_hll": grouped_hll_q,
     # --- (b') new in round 4, kept in-window per VERDICT r4 item 3
     "remove_shared_windows": remove_shared_windows_q,
     "extract_order_check": extract_order_check,
-    "gopher_rules": gopher_rules_q,
     "c4_rules": c4_rules_q,
     "url_dedup": url_dedup_q,
     "bloom_probe": bloom_probe_q,
     # --- (c) stalest: last driver-checked in r02
     "user_sessions": user_sessions,
     # --- (d) r03-only block (last driver-checked r03), oldest-first fill
-    "simhash_near_pairs": simhash_near_pairs,
-    "props_parse": props_parse,
     "contamination_check": contamination_check_q,
-    "pack_assignments": pack_assignments_q,
     "shuffle_order": shuffle_order_q,
     # ---------------------- position 51+ -------------------------------
+    # skew/cms-audit displacements by the never-checked skew_audit /
+    # cms_join_size block: simhash_near_pairs (r03-green; the near-dup
+    # pairs family in-window via minhash_jaccard_est — LSH candidates +
+    # exact verify — and remove_shared_windows), pack_assignments
+    # (r03-green; the pack family's only in-window entry, so pack has NO
+    # in-window coverage this round — the standing policy still applies:
+    # a never-checked entry outranks any green one, and pack_assignments
+    # heads the r6 refill with the rest of this comment's block).
+    # zorder_layout displacement: props_parse (r03-green; the from_json
+    # parse is a thin built-in wrapper and its typed-schema marshalling
+    # surface is otherwise pinned by local tests — no in-window JSON
+    # family remains, so it queues directly behind pack_assignments in
+    # the r6 refill).
+    # grouped_hll displacement: gopher_rules (r04-GREEN — the freshest
+    # evidence in the window, which is exactly why it's the safest cut;
+    # the quality-rule family stays in-window via c4_rules AND
+    # gopher_repetition).
+    "simhash_near_pairs": simhash_near_pairs,
+    "pack_assignments": pack_assignments_q,
+    "props_parse": props_parse,
+    "gopher_rules": gopher_rules_q,
     # final-r5 displacements by the never-checked cohort_retention /
     # table_profile / salted_join_check / decayed_topics /
     # sliding_active_users block: money_normalize (r03-green;
@@ -4989,6 +5266,10 @@ ORACLE_SQL: dict[str, str] = {
     "salted_join_check": SALTED_JOIN_SQL,
     "decayed_topics": DECAYED_SQL,
     "sliding_active_users": SLIDING_AU_SQL,
+    "skew_audit": SKEW_AUDIT_SQL,
+    "cms_join_size": CMS_JOIN_SIZE_SQL,
+    "zorder_layout": ZORDER_SQL,
+    "grouped_hll": GROUPED_HLL_SQL,
     "tfidf_pairs": TFIDF_PAIRS_SQL,
     "record_linkage": RECORD_LINKAGE_SQL,
     "collocations": COLLOCATIONS_SQL,

@@ -357,6 +357,60 @@ def cms_query(
     )
 
 
+def cms_inner_product(
+    a: DataFrame,
+    b: DataFrame,
+    width: int = 1 << 12,
+    depth: int = 4,
+    eager: bool = True,
+) -> DataFrame:
+    """Join-SIZE estimate from two :func:`cms_build` sketches (Cormode &
+    Muthukrishnan 2005 §4.2): the inner product sum_k fA(k)*fB(k) — i.e.
+    |A JOIN B| on the sketched key — estimated as
+    ``min over depth rows d of sum_c A[d,c]*B[d,c]``, the planner-grade
+    cardinality probe that decides broadcast-vs-shuffle or flags a
+    blow-up join BEFORE paying for it. Same-row collisions only ever ADD
+    mass, so est >= true join size, always (the CMS no-undercount
+    guarantee lifted to pairs).
+
+    Plan shape: meta handshake on both inputs (2 bounded collects), one
+    hash join of the two cell tables on (d, c) — each side bounded by
+    depth*width rows regardless of corpus size — a per-d partial-
+    aggregable sum (depth rows), and a min over those depth rows (the
+    length_quantiles allowed scalar class). Estimating a 100 TB join
+    costs two sketch builds + O(depth*width) work, never the join.
+
+    Inputs must share (width, depth) — cells for the same key must land
+    in the same (d, c) on both sides, which the identical md5 cell
+    arithmetic guarantees only at identical shapes; the handshake
+    refuses mismatches. Returns one row: ``est`` (BIGINT). ``eager=False``
+    skips the localCheckpoints (plan inspection; the cms_merge
+    convention)."""
+    if eager:
+        a = a.localCheckpoint(eager=True)
+        b = b.localCheckpoint(eager=True)
+    for side, frame in (("left", a), ("right", b)):
+        meta = {r["d"]: r["cnt"] for r in frame.where(F.col("d") < 0).collect()}
+        if meta.get(_CMS_META_W) != width or meta.get(_CMS_META_D) != depth:
+            raise ValueError(
+                f"cms inner-product meta mismatch on {side} input: expected "
+                f"width={width}, depth={depth}, found "
+                f"width={meta.get(_CMS_META_W)}, depth={meta.get(_CMS_META_D)}"
+            )
+    ca = a.where(F.col("d") >= 0).select("d", "c", F.col("cnt").alias("cnt_a"))
+    cb = b.where(F.col("d") >= 0).select("d", "c", F.col("cnt").alias("cnt_b"))
+    dots = (
+        ca.join(cb, ["d", "c"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("bigint").alias("dot"))
+    )
+    # no co-occupied cell at all -> every per-d dot is 0, not NULL (the
+    # empty-join min would otherwise surface NULL for a true-0 estimate)
+    return dots.agg(
+        F.coalesce(F.min("dot"), F.lit(0)).cast("bigint").alias("est")
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     key_col: str = "key",
@@ -928,6 +982,109 @@ def hll_estimate(
             .cast("bigint")
             .alias("est"),
         )
+    )
+
+
+def hll_build_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str = "key",
+    p: int = 8,
+    w_bits: int = 32,
+) -> DataFrame:
+    """Per-GROUP HyperLogLog registers — the stratified form of
+    :func:`hll_build` (per-source / per-language distinct counts, the
+    audit a mixture designer reads before setting sampling rates): one
+    partial-aggregable groupBy(group, bucket)/max to <= n_groups * 2^p
+    rows regardless of corpus size. A hot group's duplicates still
+    collapse map-side — the register table never skews even when the
+    group does. Meta rows carry bucket < 0 with a NULL group (a real
+    row always has bucket >= 0, so the sentinel can't collide).
+    Mergeable per group by MAX, the hll_merge property unchanged."""
+    _hll_check_params(p, w_bits)
+    h = hll_hash(F.col(key_col), p, w_bits)
+    rho = F.expr(
+        f"CASE WHEN w__ = 0 THEN {w_bits + 1} "
+        f"ELSE {w_bits} - length(bin(w__)) + 1 END"
+    )
+    cells = (
+        df.select(F.col(group_col).alias("g__"), h.alias("h__"))
+        .select(
+            "g__",
+            F.shiftright(F.col("h__"), w_bits).alias("bucket"),
+            (F.col("h__") % F.lit(1 << w_bits)).alias("w__"),
+        )
+        .select("g__", "bucket", rho.cast("bigint").alias("r"))
+        .groupBy("g__", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    meta = df.sparkSession.createDataFrame(
+        [(_HLL_META_P, p), (_HLL_META_W, w_bits)], "bucket bigint, r bigint"
+    ).select(F.lit(None).cast(cells.schema["g__"].dataType).alias("g__"), "bucket", "r")
+    return cells.unionByName(meta).withColumnRenamed("g__", group_col)
+
+
+def hll_estimate_grouped(
+    reg: DataFrame,
+    group_col: str,
+    p: int = 8,
+    w_bits: int = 32,
+    eager: bool = True,
+) -> DataFrame:
+    """Per-group raw HLL estimate read-off — :func:`hll_estimate`'s
+    staged integer arithmetic verbatim, but as a PARTIAL-AGGREGABLE
+    groupBy(group) over the bounded register table (never a scalar
+    SinglePartition: the grouped form is exactly what removes it).
+    Returns one row per group: (group, m, occupied, n_zero, z_scaled,
+    est). Same raw-estimate contract as the global read-off: the
+    linear-counting branch is deliberately absent (ln is FP), n_zero
+    flags the regime."""
+    reg = reg.withColumnRenamed(group_col, "g__")
+    # handshake on the meta rows (NULL group); _hll_handshake filters
+    # bucket < 0, which selects exactly the sentinels
+    reg = _hll_handshake(reg, p, w_bits, "grouped estimate read", eager)
+    m = 1 << p
+    c_exp = w_bits + 1
+    alpha_num = 7213 * m
+    alpha_den = 10000 * m + 10790
+    cells = reg.where(F.col("bucket") >= 0)
+    agg = cells.groupBy("g__").agg(
+        F.count("*").cast("bigint").alias("occupied"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({c_exp} - r AS INT))")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("zsum"),
+    )
+    z = (F.col("zsum") + (F.lit(m) - F.col("occupied")) * F.lit(1 << c_exp)).cast(
+        "bigint"
+    )
+    return (
+        agg.select(
+            "g__",
+            F.lit(m).cast("bigint").alias("m"),
+            "occupied",
+            (F.lit(m) - F.col("occupied")).cast("bigint").alias("n_zero"),
+            z.alias("z_scaled"),
+        )
+        .withColumn(
+            "num1", F.expr(f"CAST({(m * m) * (1 << c_exp)} AS BIGINT) DIV z_scaled")
+        )
+        .select(
+            "g__",
+            "m",
+            "occupied",
+            "n_zero",
+            "z_scaled",
+            F.expr(
+                f"(num1 DIV {alpha_den}) * {alpha_num} + "
+                f"((num1 % {alpha_den}) * {alpha_num}) DIV {alpha_den}"
+            )
+            .cast("bigint")
+            .alias("est"),
+        )
+        .withColumnRenamed("g__", group_col)
     )
 
 

@@ -158,3 +158,60 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
     )
     return b.join(d, [key_col, "__salt"], how).drop("__salt")
+
+
+def skew_audit(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+    hot_share_e4: int = 100,
+) -> DataFrame:
+    """Join-key skew REPORT — the measurement that decides whether a key
+    needs :func:`salted_join` (or a broadcast, or AQE skew handling)
+    before the 100 TB join is launched: per-key counts on the fact side,
+    the ``top_k`` heaviest keys, each with its corpus share and its
+    ratio to the mean key, plus a hot flag at ``hot_share_e4`` (e4
+    fixed-point; default 100 = any key holding >= 1% of rows).
+
+    Distributed shape: ONE partial-aggregable groupBy/count on the key
+    (a hot key collapses map-side — the audit itself never suffers the
+    skew it measures), a 1-row totals aggregate (partial-aggregated to
+    one row per task before the scalar exchange) broadcast back via
+    crossJoin, and a TakeOrderedAndProject for the top-k — no window,
+    no global sort. All-integer outputs:
+
+    - ``share_e4``  = cnt * 10000 DIV total   (fraction of all rows)
+    - ``xmean_e4``  = cnt * n_keys * 10000 DIV total  (10000 = exactly
+      the mean key; a uniform column reads ~10000 everywhere, a hot key
+      reads n_keys times that)
+    - ``is_hot``    = share_e4 >= hot_share_e4
+
+    Ordering (cnt DESC, key ASC) is total — the top-k SET is
+    deterministic. NULL keys count as a key of their own (NULL joins
+    match nothing downstream, but their row mass still skews the build
+    side of a shuffle, so the audit must see them)."""
+    if top_k < 1:
+        raise ValueError(f"skew_audit: top_k must be >= 1, got {top_k}")
+    counts = (
+        df.select(F.col(key_col).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_k)
+        .select(
+            "key",
+            "cnt",
+            F.expr("cnt * 10000 DIV total").cast("bigint").alias("share_e4"),
+            F.expr("cnt * n_keys * 10000 DIV total").cast("bigint").alias("xmean_e4"),
+            "total",
+            "n_keys",
+            F.expr("CAST(cnt * 10000 DIV total >= " + str(int(hot_share_e4)) + " AS INT)").alias("is_hot"),
+        )
+    )

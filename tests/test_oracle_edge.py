@@ -50,6 +50,7 @@ DOC_QUERIES = [
     "hashed_classify", "alpha_mix", "hll_distinct", "hll_merge",
     "phrase_search", "proximity_search", "pagerank", "tfidf_pairs",
     "collocations", "triangle_count", "minhash_jaccard_est",
+    "grouped_hll",
 ]
 
 

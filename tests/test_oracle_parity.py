@@ -171,12 +171,12 @@ DRIVER_WINDOW_50 = [
     "triangle_count", "funnel_conversion", "minhash_jaccard_est",
     "cohort_retention", "table_profile", "salted_join_check",
     "decayed_topics", "sliding_active_users",
-    "remove_shared_windows", "extract_order_check", "gopher_rules",
+    "skew_audit", "cms_join_size", "zorder_layout", "grouped_hll",
+    "remove_shared_windows", "extract_order_check",
     "c4_rules", "url_dedup", "bloom_probe",
     "user_sessions",
-    "simhash_near_pairs", "props_parse",
     "contamination_check",
-    "pack_assignments", "shuffle_order",
+    "shuffle_order",
 ]
 
 
