@@ -4737,7 +4737,8 @@ skat AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
          FROM skac)
 SELECT key, cnt,
        CAST(cnt * 10000 // total AS BIGINT) AS share_e4,
-       CAST(cnt * n_keys * 10000 // total AS BIGINT) AS xmean_e4,
+       CAST((cnt * 10000 // total) * n_keys
+            + ((cnt * 10000 % total) * n_keys) // total AS BIGINT) AS xmean_e4,
        total, n_keys,
        CAST(CASE WHEN cnt * 10000 // total >= 100 THEN 1 ELSE 0 END AS INT) AS is_hot
 FROM skac, skat
@@ -4809,7 +4810,8 @@ cjcb AS (SELECT j AS d,
          FROM cjd CROSS JOIN cjj GROUP BY 1, 2),
 cjdot AS (SELECT a.d, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
           FROM cjca a JOIN cjcb b ON b.d = a.d AND b.c = a.c GROUP BY a.d),
-cjest AS (SELECT CAST(coalesce(min(dot), 0) AS BIGINT) AS est FROM cjdot),
+cjest AS (SELECT CAST(CASE WHEN count(*) < 3 THEN 0 ELSE min(dot) END
+                      AS BIGINT) AS est FROM cjdot),
 cjea AS (SELECT k, CAST(count(*) AS BIGINT) AS ca FROM cjk GROUP BY k),
 cjeb AS (SELECT k, CAST(count(*) AS BIGINT) AS cb FROM cjd GROUP BY k),
 cjex AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS exact

@@ -57,9 +57,7 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             F.sum(F.when(F.col("val").isNull(), F.col("n")).otherwise(F.lit(0)))
             .cast("bigint")
             .alias("n_null"),
-            F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
-            .cast("bigint")
-            .alias("n_distinct"),
+            F.count("val").cast("bigint").alias("n_distinct"),
             F.min("val").alias("min_val"),
             F.max("val").alias("max_val"),
         )

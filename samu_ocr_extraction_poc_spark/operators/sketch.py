@@ -383,12 +383,19 @@ def cms_inner_product(
     Inputs must share (width, depth) — cells for the same key must land
     in the same (d, c) on both sides, which the identical md5 cell
     arithmetic guarantees only at identical shapes; the handshake
-    refuses mismatches. Returns one row: ``est`` (BIGINT). ``eager=False``
-    skips the localCheckpoints (plan inspection; the cms_merge
-    convention)."""
+    refuses mismatches. It also refuses sketches whose total masses
+    could overflow the BIGINT dot product: the estimate's error bound is
+    |A|_1 * |B|_1 / width (collision mass), so when that exceeds ~2^62
+    the per-d sums wrap and the no-undercount guarantee silently
+    inverts — the guard turns the silent wrap into an error telling the
+    caller to raise ``width`` (total mass is read from the d=0 cell row
+    sums, two bounded aggregates). Returns one row: ``est`` (BIGINT).
+    ``eager=False`` skips the localCheckpoints (plan inspection; the
+    cms_merge convention)."""
     if eager:
         a = a.localCheckpoint(eager=True)
         b = b.localCheckpoint(eager=True)
+    masses = []
     for side, frame in (("left", a), ("right", b)):
         meta = {r["d"]: r["cnt"] for r in frame.where(F.col("d") < 0).collect()}
         if meta.get(_CMS_META_W) != width or meta.get(_CMS_META_D) != depth:
@@ -397,6 +404,19 @@ def cms_inner_product(
                 f"width={width}, depth={depth}, found "
                 f"width={meta.get(_CMS_META_W)}, depth={meta.get(_CMS_META_D)}"
             )
+        m = (
+            frame.where(F.col("d") == 0)
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        masses.append(int(m))
+    if masses[0] * masses[1] // width >= 1 << 62:
+        raise ValueError(
+            f"cms inner-product overflow: |A|*|B|/width = "
+            f"{masses[0]}*{masses[1]}/{width} reaches the BIGINT dot-product "
+            "limit — the collision mass itself would wrap; rebuild the "
+            "sketches with a larger width"
+        )
     ca = a.where(F.col("d") >= 0).select("d", "c", F.col("cnt").alias("cnt_a"))
     cb = b.where(F.col("d") >= 0).select("d", "c", F.col("cnt").alias("cnt_b"))
     dots = (
@@ -404,10 +424,15 @@ def cms_inner_product(
         .groupBy("d")
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("bigint").alias("dot"))
     )
-    # no co-occupied cell at all -> every per-d dot is 0, not NULL (the
-    # empty-join min would otherwise surface NULL for a true-0 estimate)
+    # a depth row with NO co-occupied cells has dot 0 — it just produces
+    # no row through the inner join, so the min must treat the missing
+    # rows as zeros: any absent row proves the true inner product is 0
+    # (that row's cells intersect nowhere), making 0 the estimate
     return dots.agg(
-        F.coalesce(F.min("dot"), F.lit(0)).cast("bigint").alias("est")
+        F.when(F.count("*") < depth, F.lit(0))
+        .otherwise(F.coalesce(F.min("dot"), F.lit(0)))
+        .cast("bigint")
+        .alias("est")
     )
 
 

@@ -165,6 +165,7 @@ def skew_audit(
     key_col: str,
     top_k: int = 20,
     hot_share_e4: int = 100,
+    eager: bool = True,
 ) -> DataFrame:
     """Join-key skew REPORT — the measurement that decides whether a key
     needs :func:`salted_join` (or a broadcast, or AQE skew handling)
@@ -181,15 +182,28 @@ def skew_audit(
     no global sort. All-integer outputs:
 
     - ``share_e4``  = cnt * 10000 DIV total   (fraction of all rows)
-    - ``xmean_e4``  = cnt * n_keys * 10000 DIV total  (10000 = exactly
-      the mean key; a uniform column reads ~10000 everywhere, a hot key
-      reads n_keys times that)
+    - ``xmean_e4``  = floor(cnt * n_keys * 10000 / total)  (10000 =
+      exactly the mean key; a uniform column reads ~10000 everywhere, a
+      hot key reads n_keys times that) — computed via the split-multiply
+      identity floor(a*c/d) = (a DIV d)*c + ((a % d)*c) DIV d with
+      a = cnt*10000, c = n_keys, d = total (the hll_estimate staging),
+      so the intermediates stay in BIGINT whenever
+      ``total * n_keys < 2^63`` — four orders of magnitude beyond the
+      naive triple product's domain; past ~10^12 rows x 10^6 keys,
+      pre-aggregate or drop the e4 scale
     - ``is_hot``    = share_e4 >= hot_share_e4
 
-    Ordering (cnt DESC, key ASC) is total — the top-k SET is
-    deterministic. NULL keys count as a key of their own (NULL joins
-    match nothing downstream, but their row mass still skews the build
-    side of a shuffle, so the audit must see them)."""
+    Ordering (cnt DESC, key ASC NULLS LAST) is total — the top-k SET is
+    deterministic, and NULLS LAST matches ANSI/DuckDB ASC default (Spark
+    alone defaults to NULLS FIRST — left implicit, a NULL key tying at
+    the boundary would silently change the set between engines). NULL
+    keys count as a key of their own (NULL joins match nothing
+    downstream, but their row mass still skews the build side of a
+    shuffle, so the audit must see them). The counts frame feeds both
+    the totals aggregate and the top-k, so ``eager=True`` (default)
+    localCheckpoints it once instead of re-running the fact-side scan +
+    count shuffle per consumer; ``eager=False`` keeps the declarative
+    lineage (plan inspection)."""
     if top_k < 1:
         raise ValueError(f"skew_audit: top_k must be >= 1, got {top_k}")
     counts = (
@@ -197,19 +211,24 @@ def skew_audit(
         .groupBy("key")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+    if eager:
+        counts = counts.localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("cnt").cast("bigint").alias("total"),
         F.count("*").cast("bigint").alias("n_keys"),
     )
     return (
         counts.crossJoin(F.broadcast(totals))
-        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
         .limit(top_k)
         .select(
             "key",
             "cnt",
             F.expr("cnt * 10000 DIV total").cast("bigint").alias("share_e4"),
-            F.expr("cnt * n_keys * 10000 DIV total").cast("bigint").alias("xmean_e4"),
+            F.expr(
+                "(cnt * 10000 DIV total) * n_keys"
+                " + ((cnt * 10000 % total) * n_keys) DIV total"
+            ).cast("bigint").alias("xmean_e4"),
             "total",
             "n_keys",
             F.expr("CAST(cnt * 10000 DIV total >= " + str(int(hot_share_e4)) + " AS INT)").alias("is_hot"),

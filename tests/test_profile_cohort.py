@@ -82,7 +82,6 @@ def test_cohort_retention_eager_matches_lazy(spark):
     df = spark.createDataFrame(
         [(1, 0), (1, DAY_US), (2, 0), (3, 2 * DAY_US)], "user_id long, t long"
     )
-    key = lambda r: (r["cohort_day"], r["age_days"])  # noqa: E731
     eager = sorted(map(tuple, cohort_retention(df, eager=True).collect()))
     lazy = sorted(map(tuple, cohort_retention(df, eager=False).collect()))
     assert eager == lazy

@@ -217,3 +217,38 @@ def test_grouped_hll_handshake_refuses_mismatch(spark):
     reg = hll_build_grouped(df, "g", "key")
     with pytest.raises(ValueError, match="hll meta mismatch"):
         hll_estimate_grouped(reg, "g", p=9, w_bits=31).collect()
+
+
+def test_cms_inner_product_missing_depth_row_means_zero(spark):
+    """A depth row with no co-occupied cells proves the true inner
+    product is 0 — the min must treat that ABSENT join row as a zero,
+    not silently take the min over the colliding rows only (the
+    review-caught inner-join gap). Keys are searched deterministically
+    for a pair that collides in row d=0 but in neither d=1 nor d=2."""
+    width = 16
+    pair = None
+    for i in range(2000):
+        ka, kb = f"pa{i}", f"pb{i}"
+        if (
+            _cell(ka, 0, width) == _cell(kb, 0, width)
+            and _cell(ka, 1, width) != _cell(kb, 1, width)
+            and _cell(ka, 2, width) != _cell(kb, 2, width)
+        ):
+            pair = (ka, kb)
+            break
+    assert pair is not None
+    a, b = {pair[0]: 7}, {pair[1]: 5}
+    sk_a = cms_build(_str_keys_df(spark, a), "k", width=width, depth=3)
+    sk_b = cms_build(_str_keys_df(spark, b), "k", width=width, depth=3)
+    got = cms_inner_product(sk_a, sk_b, width=width, depth=3).collect()
+    assert got[0]["est"] == 0
+    assert _py_inner_product(a, b, width, 3) == 0
+
+
+def test_cms_inner_product_refuses_overflowable_masses(spark):
+    # two 2^31-weight single-key sketches at width 1: |A|*|B|/width = 2^62
+    big = 1 << 31
+    df = spark.createDataFrame([("x", big)], "k string, w long")
+    sk = cms_build(df, "k", width=1, depth=3, weight_col="w")
+    with pytest.raises(ValueError, match="overflow"):
+        cms_inner_product(sk, sk, width=1, depth=3)
