@@ -177,9 +177,11 @@ def skew_audit(
     Distributed shape: ONE partial-aggregable groupBy/count on the key
     (a hot key collapses map-side — the audit itself never suffers the
     skew it measures), a 1-row totals aggregate (partial-aggregated to
-    one row per task before the scalar exchange) broadcast back via
-    crossJoin, and a TakeOrderedAndProject for the top-k — no window,
-    no global sort. All-integer outputs:
+    one row per task before the scalar exchange — the length_quantiles /
+    hll_distinct documented-SinglePartition class: the exchange carries
+    one partial row per task, never key- or corpus-sized data) broadcast
+    back via crossJoin, and a TakeOrderedAndProject for the top-k — no
+    window, no global sort. All-integer outputs:
 
     - ``share_e4``  = cnt * 10000 DIV total   (fraction of all rows)
     - ``xmean_e4``  = floor(cnt * n_keys * 10000 / total)  (10000 =
