@@ -274,6 +274,22 @@ def cms_build(
     return cells.unionByName(meta)
 
 
+def _cms_handshake(frame: DataFrame, what: str, width: int, depth: int) -> None:
+    """Validate a cms_build frame's meta sentinel rows against the
+    caller's (width, depth) — the shared refuse-don't-garble check for
+    merge/query/inner-product (the _hll_handshake sibling; three
+    formerly-verbatim copies drifted apart is exactly the failure this
+    exists to prevent)."""
+    meta = {r["d"]: r["cnt"] for r in frame.where(F.col("d") < 0).collect()}
+    if meta.get(_CMS_META_W) != width or meta.get(_CMS_META_D) != depth:
+        raise ValueError(
+            f"cms meta mismatch on {what}: expected width={width}, "
+            f"depth={depth}, found width={meta.get(_CMS_META_W)}, "
+            f"depth={meta.get(_CMS_META_D)} — build and read must use "
+            "identical parameters"
+        )
+
+
 def cms_merge(
     a: DataFrame,
     b: DataFrame,
@@ -292,14 +308,8 @@ def cms_merge(
     if eager:
         a = a.localCheckpoint(eager=True)
         b = b.localCheckpoint(eager=True)
-    for side, frame in (("left", a), ("right", b)):
-        meta = {r["d"]: r["cnt"] for r in frame.where(F.col("d") < 0).collect()}
-        if meta.get(_CMS_META_W) != width or meta.get(_CMS_META_D) != depth:
-            raise ValueError(
-                f"cms merge meta mismatch on {side} input: expected "
-                f"width={width}, depth={depth}, found "
-                f"width={meta.get(_CMS_META_W)}, depth={meta.get(_CMS_META_D)}"
-            )
+    for side, frame in (("left merge input", a), ("right merge input", b)):
+        _cms_handshake(frame, side, width, depth)
     cells = (
         a.where(F.col("d") >= 0)
         .unionByName(b.where(F.col("d") >= 0))
@@ -332,14 +342,7 @@ def cms_query(
     bloom_probe convention)."""
     if eager:
         cms = cms.localCheckpoint(eager=True)
-    meta = {r["d"]: r["cnt"] for r in cms.where(F.col("d") < 0).collect()}
-    if meta.get(_CMS_META_W) != width or meta.get(_CMS_META_D) != depth:
-        raise ValueError(
-            f"cms meta mismatch: query expects width={width}, depth={depth}, "
-            f"sketch carries width={meta.get(_CMS_META_W)}, "
-            f"depth={meta.get(_CMS_META_D)} — "
-            "build and query must use identical parameters"
-        )
+    _cms_handshake(cms, "query", width, depth)
     cells = cms.where(F.col("d") >= 0)
     pos = _cms_positions(
         probe.select(F.col(key_col).alias("key")).distinct(),
@@ -383,39 +386,46 @@ def cms_inner_product(
     Inputs must share (width, depth) — cells for the same key must land
     in the same (d, c) on both sides, which the identical md5 cell
     arithmetic guarantees only at identical shapes; the handshake
-    refuses mismatches. It also refuses sketches whose total masses
-    could overflow the BIGINT dot product: the estimate's error bound is
-    |A|_1 * |B|_1 / width (collision mass), so when that exceeds ~2^62
-    the per-d sums wrap and the no-undercount guarantee silently
-    inverts — the guard turns the silent wrap into an error telling the
-    caller to raise ``width`` (total mass is read from the d=0 cell row
-    sums, two bounded aggregates). Returns one row: ``est`` (BIGINT).
-    ``eager=False`` skips the localCheckpoints (plan inspection; the
-    cms_merge convention)."""
+    refuses mismatches. It also refuses sketch pairs whose dot product
+    could overflow BIGINT: each depth row's dot is bounded by
+    ``min(max_cell(A) * |B|_1, |A|_1 * max_cell(B))`` (sum_c A*B <=
+    max(A) * sum_c B — the worst case is ALL mass co-occupying one cell,
+    so dividing by width would under-guard skewed sketches), and when
+    that bound reaches ~2^62 the non-ANSI sum would wrap silently and
+    invert the no-undercount guarantee — the guard turns the wrap into
+    an error telling the caller to pre-aggregate or split the streams
+    (mass from the d=0 row sum, max over all cells; two bounded
+    aggregates, exact python-int arithmetic). Returns one row: ``est``
+    (BIGINT). ``eager=False`` skips the localCheckpoints (plan
+    inspection; the cms_merge convention)."""
     if eager:
         a = a.localCheckpoint(eager=True)
         b = b.localCheckpoint(eager=True)
-    masses = []
-    for side, frame in (("left", a), ("right", b)):
-        meta = {r["d"]: r["cnt"] for r in frame.where(F.col("d") < 0).collect()}
-        if meta.get(_CMS_META_W) != width or meta.get(_CMS_META_D) != depth:
-            raise ValueError(
-                f"cms inner-product meta mismatch on {side} input: expected "
-                f"width={width}, depth={depth}, found "
-                f"width={meta.get(_CMS_META_W)}, depth={meta.get(_CMS_META_D)}"
+    stats = []
+    for side, frame in (
+        ("left inner-product input", a),
+        ("right inner-product input", b),
+    ):
+        _cms_handshake(frame, side, width, depth)
+        r = (
+            frame.where(F.col("d") >= 0)
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("d") == 0, F.col("cnt"))), F.lit(0)
+                ).alias("mass"),
+                F.coalesce(F.max("cnt"), F.lit(0)).alias("mx"),
             )
-        m = (
-            frame.where(F.col("d") == 0)
-            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("m"))
-            .collect()[0]["m"]
+            .collect()[0]
         )
-        masses.append(int(m))
-    if masses[0] * masses[1] // width >= 1 << 62:
+        stats.append((int(r["mass"]), int(r["mx"])))
+    (mass_a, max_a), (mass_b, max_b) = stats
+    if min(max_a * mass_b, mass_a * max_b) >= 1 << 62:
         raise ValueError(
-            f"cms inner-product overflow: |A|*|B|/width = "
-            f"{masses[0]}*{masses[1]}/{width} reaches the BIGINT dot-product "
-            "limit — the collision mass itself would wrap; rebuild the "
-            "sketches with a larger width"
+            f"cms inner-product overflow: the per-row dot bound "
+            f"min(max(A)*|B|, |A|*max(B)) = "
+            f"min({max_a}*{mass_b}, {mass_a}*{max_b}) reaches the BIGINT "
+            "limit — the sum would wrap silently; pre-aggregate or split "
+            "the streams before sketching"
         )
     ca = a.where(F.col("d") >= 0).select("d", "c", F.col("cnt").alias("cnt_a"))
     cb = b.where(F.col("d") >= 0).select("d", "c", F.col("cnt").alias("cnt_b"))
@@ -817,8 +827,14 @@ def grouped_quantiles(
 
 # HLL meta sentinels: bucket is the register index (real rows bucket >= 0),
 # the separate-rows parameter handshake shared with Bloom/CMS/hist above.
+# _HLL_META_G marks a GROUPED build (hll_build_grouped): without it a
+# grouped register table would pass the global handshake and the global
+# read-off would silently aggregate registers across all groups (occupied
+# > m, negative z_scaled) — the strict handshake refuses the cross-read
+# in both directions.
 _HLL_META_P = -1
 _HLL_META_W = -2
+_HLL_META_G = -3
 
 
 def hll_hash(col: Column, p: int = 8, w_bits: int = 32, prefix: str = "hll:") -> Column:
@@ -872,40 +888,124 @@ def hll_build(
     meta rows bucket=-1 (p) / bucket=-2 (w_bits), the separate-rows
     handshake."""
     _hll_check_params(p, w_bits)
-    h = hll_hash(F.col(key_col), p, w_bits)
-    rho = F.expr(
-        f"CASE WHEN w__ = 0 THEN {w_bits + 1} "
-        f"ELSE {w_bits} - length(bin(w__)) + 1 END"
-    )
-    cells = (
-        df.select(h.alias("h__"))
-        .select(
-            F.shiftright(F.col("h__"), w_bits).alias("bucket"),
-            (F.col("h__") % F.lit(1 << w_bits)).alias("w__"),
-        )
-        .select("bucket", rho.cast("bigint").alias("r"))
-        .groupBy("bucket")
-        .agg(F.max("r").alias("r"))
-    )
+    cells = _hll_cells(df, key_col, p, w_bits)
     meta = df.sparkSession.createDataFrame(
         [(_HLL_META_P, p), (_HLL_META_W, w_bits)], "bucket bigint, r bigint"
     )
     return cells.unionByName(meta)
 
 
-def _hll_handshake(
-    reg: DataFrame, p: int, w_bits: int, what: str, eager: bool = True
+def _hll_cells(
+    df: DataFrame,
+    key_col: str,
+    p: int,
+    w_bits: int,
+    group_col: str | None = None,
 ) -> DataFrame:
-    """localCheckpoint + meta validation (the bloom_probe discipline,
-    including its eager=False opt-out)."""
+    """The ONE register construction (hash -> bucket/w split -> exact
+    bit-length rho -> groupBy max) shared by the global and grouped
+    builds, so the sketch semantics cannot fork between them. With
+    ``group_col`` the register key is (g__, bucket); without, (bucket)."""
+    h = hll_hash(F.col(key_col), p, w_bits)
+    rho = F.expr(
+        f"CASE WHEN w__ = 0 THEN {w_bits + 1} "
+        f"ELSE {w_bits} - length(bin(w__)) + 1 END"
+    )
+    keys = [F.col(group_col).alias("g__")] if group_col else []
+    names = ["g__"] if group_col else []
+    return (
+        df.select(*keys, h.alias("h__"))
+        .select(
+            *names,
+            F.shiftright(F.col("h__"), w_bits).alias("bucket"),
+            (F.col("h__") % F.lit(1 << w_bits)).alias("w__"),
+        )
+        .select(*names, "bucket", rho.cast("bigint").alias("r"))
+        .groupBy(*names, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def _hll_occupancy_aggs(c_exp: int) -> list[Column]:
+    """The occupied/zsum aggregate pair of the estimate read-off — shared
+    by the global (scalar agg) and grouped (groupBy agg) forms."""
+    return [
+        F.count("*").cast("bigint").alias("occupied"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({c_exp} - r AS INT))")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("zsum"),
+    ]
+
+
+def _hll_readoff(agg: DataFrame, p: int, w_bits: int, keep: tuple = ()) -> DataFrame:
+    """The staged-integer estimate arithmetic (z_scaled, num1, the
+    split-multiply alpha) applied to an (occupied, zsum) frame — ONE
+    copy serving both the global and grouped read-offs; ``keep`` carries
+    group columns through."""
+    m = 1 << p
+    c_exp = w_bits + 1
+    alpha_num = 7213 * m
+    alpha_den = 10000 * m + 10790
+    z = (F.col("zsum") + (F.lit(m) - F.col("occupied")) * F.lit(1 << c_exp)).cast(
+        "bigint"
+    )
+    return (
+        agg.select(
+            *keep,
+            F.lit(m).cast("bigint").alias("m"),
+            "occupied",
+            (F.lit(m) - F.col("occupied")).cast("bigint").alias("n_zero"),
+            z.alias("z_scaled"),
+        )
+        .withColumn(
+            "num1", F.expr(f"CAST({(m * m) * (1 << c_exp)} AS BIGINT) DIV z_scaled")
+        )
+        .select(
+            *keep,
+            "m",
+            "occupied",
+            "n_zero",
+            "z_scaled",
+            F.expr(
+                f"(num1 DIV {alpha_den}) * {alpha_num} + "
+                f"((num1 % {alpha_den}) * {alpha_num}) DIV {alpha_den}"
+            )
+            .cast("bigint")
+            .alias("est"),
+        )
+    )
+
+
+def _hll_handshake(
+    reg: DataFrame,
+    p: int,
+    w_bits: int,
+    what: str,
+    eager: bool = True,
+    grouped: bool = False,
+) -> DataFrame:
+    """localCheckpoint + STRICT meta validation (the bloom_probe
+    discipline, including its eager=False opt-out): the sentinel set
+    must match exactly — (p, w_bits) for a global build, plus the
+    grouped marker for a grouped one — so a grouped register table can
+    never slip into the global read-off/merge (where cross-group
+    aggregation would silently produce occupied > m and negative
+    z_scaled) and vice versa."""
     if eager:
         reg = reg.localCheckpoint(eager=True)
     meta = {r["bucket"]: r["r"] for r in reg.where(F.col("bucket") < 0).collect()}
-    found = (meta.get(_HLL_META_P), meta.get(_HLL_META_W))
-    if found != (p, w_bits):
+    expected = {_HLL_META_P: p, _HLL_META_W: w_bits}
+    if grouped:
+        expected[_HLL_META_G] = 1
+    if meta != expected:
         raise ValueError(
-            f"hll meta mismatch on {what}: expected (p, w_bits)={(p, w_bits)}, "
-            f"sketch carries {found} — build and read must use identical parameters"
+            f"hll meta mismatch on {what}: expected sentinels {expected}, "
+            f"sketch carries {meta} — build and read must use identical "
+            "parameters, and a grouped build (marker -3) is only readable "
+            "by the grouped read-off"
         )
     return reg
 
@@ -968,46 +1068,8 @@ def hll_estimate(
     never over corpus-sized data). ``eager=False`` skips the handshake
     checkpoint."""
     reg = _hll_handshake(reg, p, w_bits, "estimate read", eager)
-    m = 1 << p
-    c_exp = w_bits + 1
-    alpha_num = 7213 * m
-    alpha_den = 10000 * m + 10790
-    cells = reg.where(F.col("bucket") >= 0)
-    agg = cells.agg(
-        F.count("*").cast("bigint").alias("occupied"),
-        F.coalesce(
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({c_exp} - r AS INT))")),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("zsum"),
-    )
-    z = (F.col("zsum") + (F.lit(m) - F.col("occupied")) * F.lit(1 << c_exp)).cast(
-        "bigint"
-    )
-    return (
-        agg.select(
-            F.lit(m).cast("bigint").alias("m"),
-            "occupied",
-            (F.lit(m) - F.col("occupied")).cast("bigint").alias("n_zero"),
-            z.alias("z_scaled"),
-        )
-        .withColumn(
-            "num1", F.expr(f"CAST({(m * m) * (1 << c_exp)} AS BIGINT) DIV z_scaled")
-        )
-        .select(
-            "m",
-            "occupied",
-            "n_zero",
-            "z_scaled",
-            F.expr(
-                f"(num1 DIV {alpha_den}) * {alpha_num} + "
-                f"((num1 % {alpha_den}) * {alpha_num}) DIV {alpha_den}"
-            )
-            .cast("bigint")
-            .alias("est"),
-        )
-    )
+    agg = reg.where(F.col("bucket") >= 0).agg(*_hll_occupancy_aggs(w_bits + 1))
+    return _hll_readoff(agg, p, w_bits)
 
 
 def hll_build_grouped(
@@ -1024,27 +1086,19 @@ def hll_build_grouped(
     rows regardless of corpus size. A hot group's duplicates still
     collapse map-side — the register table never skews even when the
     group does. Meta rows carry bucket < 0 with a NULL group (a real
-    row always has bucket >= 0, so the sentinel can't collide).
-    Mergeable per group by MAX, the hll_merge property unchanged."""
+    row always has bucket >= 0, so the sentinel can't collide), PLUS
+    the grouped-build marker (bucket = -3): the strict handshake makes
+    a grouped table unreadable by the global read-off/merge — feeding
+    one through hll_estimate would otherwise silently aggregate
+    registers across all groups (occupied > m, negative z_scaled).
+    Register construction is :func:`_hll_cells`, byte-identical to the
+    global build's. Mergeable per group by MAX, the hll_merge property
+    unchanged."""
     _hll_check_params(p, w_bits)
-    h = hll_hash(F.col(key_col), p, w_bits)
-    rho = F.expr(
-        f"CASE WHEN w__ = 0 THEN {w_bits + 1} "
-        f"ELSE {w_bits} - length(bin(w__)) + 1 END"
-    )
-    cells = (
-        df.select(F.col(group_col).alias("g__"), h.alias("h__"))
-        .select(
-            "g__",
-            F.shiftright(F.col("h__"), w_bits).alias("bucket"),
-            (F.col("h__") % F.lit(1 << w_bits)).alias("w__"),
-        )
-        .select("g__", "bucket", rho.cast("bigint").alias("r"))
-        .groupBy("g__", "bucket")
-        .agg(F.max("r").alias("r"))
-    )
+    cells = _hll_cells(df, key_col, p, w_bits, group_col=group_col)
     meta = df.sparkSession.createDataFrame(
-        [(_HLL_META_P, p), (_HLL_META_W, w_bits)], "bucket bigint, r bigint"
+        [(_HLL_META_P, p), (_HLL_META_W, w_bits), (_HLL_META_G, 1)],
+        "bucket bigint, r bigint",
     ).select(F.lit(None).cast(cells.schema["g__"].dataType).alias("g__"), "bucket", "r")
     return cells.unionByName(meta).withColumnRenamed("g__", group_col)
 
@@ -1056,60 +1110,29 @@ def hll_estimate_grouped(
     w_bits: int = 32,
     eager: bool = True,
 ) -> DataFrame:
-    """Per-group raw HLL estimate read-off — :func:`hll_estimate`'s
-    staged integer arithmetic verbatim, but as a PARTIAL-AGGREGABLE
-    groupBy(group) over the bounded register table (never a scalar
-    SinglePartition: the grouped form is exactly what removes it).
-    Returns one row per group: (group, m, occupied, n_zero, z_scaled,
-    est). Same raw-estimate contract as the global read-off: the
-    linear-counting branch is deliberately absent (ln is FP), n_zero
-    flags the regime."""
+    """Per-group raw HLL estimate read-off — :func:`_hll_readoff`'s
+    staged integer arithmetic (the SAME code object the global
+    hll_estimate runs), but as a PARTIAL-AGGREGABLE groupBy(group) over
+    the bounded register table (never a scalar SinglePartition: the
+    grouped form is exactly what removes it). Requires the grouped-build
+    marker — the strict handshake refuses a global build here, and a
+    grouped build there. Returns one row per group: (group, m, occupied,
+    n_zero, z_scaled, est). Same raw-estimate contract as the global
+    read-off: the linear-counting branch is deliberately absent (ln is
+    FP), n_zero flags the regime."""
     reg = reg.withColumnRenamed(group_col, "g__")
     # handshake on the meta rows (NULL group); _hll_handshake filters
-    # bucket < 0, which selects exactly the sentinels
-    reg = _hll_handshake(reg, p, w_bits, "grouped estimate read", eager)
-    m = 1 << p
-    c_exp = w_bits + 1
-    alpha_num = 7213 * m
-    alpha_den = 10000 * m + 10790
-    cells = reg.where(F.col("bucket") >= 0)
-    agg = cells.groupBy("g__").agg(
-        F.count("*").cast("bigint").alias("occupied"),
-        F.coalesce(
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({c_exp} - r AS INT))")),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("zsum"),
+    # bucket < 0, which selects exactly the sentinels incl. the marker
+    reg = _hll_handshake(
+        reg, p, w_bits, "grouped estimate read", eager, grouped=True
     )
-    z = (F.col("zsum") + (F.lit(m) - F.col("occupied")) * F.lit(1 << c_exp)).cast(
-        "bigint"
+    agg = (
+        reg.where(F.col("bucket") >= 0)
+        .groupBy("g__")
+        .agg(*_hll_occupancy_aggs(w_bits + 1))
     )
-    return (
-        agg.select(
-            "g__",
-            F.lit(m).cast("bigint").alias("m"),
-            "occupied",
-            (F.lit(m) - F.col("occupied")).cast("bigint").alias("n_zero"),
-            z.alias("z_scaled"),
-        )
-        .withColumn(
-            "num1", F.expr(f"CAST({(m * m) * (1 << c_exp)} AS BIGINT) DIV z_scaled")
-        )
-        .select(
-            "g__",
-            "m",
-            "occupied",
-            "n_zero",
-            "z_scaled",
-            F.expr(
-                f"(num1 DIV {alpha_den}) * {alpha_num} + "
-                f"((num1 % {alpha_den}) * {alpha_num}) DIV {alpha_den}"
-            )
-            .cast("bigint")
-            .alias("est"),
-        )
-        .withColumnRenamed("g__", group_col)
+    return _hll_readoff(agg, p, w_bits, keep=("g__",)).withColumnRenamed(
+        "g__", group_col
     )
 
 

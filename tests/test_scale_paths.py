@@ -1609,7 +1609,7 @@ def test_cms_semantics(spark):
 
     with _pt.raises(ValueError, match="cms meta mismatch"):
         cms_query(sk, probe, "key", width=512).collect()
-    with _pt.raises(ValueError, match="cms merge meta mismatch"):
+    with _pt.raises(ValueError, match="cms meta mismatch on right merge input"):
         cms_merge(sk, cms_build(ys, "key", depth=2))
 
     # narrow sketch over a larger weighted stream: collisions now real;

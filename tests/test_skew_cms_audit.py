@@ -252,3 +252,29 @@ def test_cms_inner_product_refuses_overflowable_masses(spark):
     sk = cms_build(df, "k", width=1, depth=3, weight_col="w")
     with pytest.raises(ValueError, match="overflow"):
         cms_inner_product(sk, sk, width=1, depth=3)
+
+
+def test_hll_grouped_and_global_cross_reads_refuse(spark):
+    """The grouped-build marker (bucket=-3) + strict handshake: a grouped
+    register table must be unreadable by the GLOBAL read-off/merge
+    (which would silently aggregate registers across groups — occupied
+    > m, negative z_scaled), and a global build unreadable by the
+    grouped read-off."""
+    from samu_ocr_extraction_poc_spark.operators.sketch import (
+        hll_build,
+        hll_build_grouped,
+        hll_estimate,
+        hll_estimate_grouped,
+        hll_merge,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "z")], "g string, key string"
+    )
+    greg = hll_build_grouped(df, "g", "key")
+    with pytest.raises(ValueError, match="hll meta mismatch"):
+        hll_estimate(greg)
+    with pytest.raises(ValueError, match="hll meta mismatch"):
+        hll_merge(greg, greg)
+    with pytest.raises(ValueError, match="hll meta mismatch"):
+        hll_estimate_grouped(hll_build(df, "key"), "g")
