@@ -343,13 +343,16 @@ def lsh_candidate_pairs(
     """Band the signature and self-join on band buckets -> candidate pairs
     (doc_a < doc_b). The classic banding construction (Broder; MMDS ch.3).
     """
-    # the signature frame feeds both sides of the self-join; persist AND
-    # materialize eagerly — a lazy persist lets both join sides race to fill
-    # the cache and compute the shingle pipeline twice (at scale: write the
-    # signature table). Persist a PRIVATE projection, not the caller's
-    # frame: persisting/unpersisting the argument itself would silently
-    # destroy (or fight with) any cache the caller set up on it.
-    signatures = signatures.select("*").persist()
+    # the signature frame feeds both sides of the self-join; materialize it
+    # eagerly — a lazy persist would let both join sides race to fill the
+    # cache and compute the shingle pipeline twice (at scale: write the
+    # signature table). localCheckpoint rather than persist (r6): the
+    # self-join references the frame twice, so a lineage-bearing cache
+    # makes Catalyst re-analyze the whole upstream shingle plan per
+    # reference — the flat LogicalRDD keeps the pair plan's analysis
+    # bounded (guide §3.3). The checkpoint is on a NEW frame, so any cache
+    # the caller set up on its own frame is untouched.
+    signatures = signatures.localCheckpoint(eager=False)
     signatures.count()
     exploded = _banded(signatures, num_hashes, rows_per_band)
     a = exploded.alias("a")
@@ -359,11 +362,11 @@ def lsh_candidate_pairs(
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        # eager candidate-pair frame; releases the signature cache (persist
-        # accretion across bench passes — ADVICE r2)
+        # eager candidate-pair frame; releases the signature checkpoint
+        # (persist accretion across bench passes — ADVICE r2)
         .localCheckpoint(eager=True)
     )
-    signatures.unpersist()
+    _release_frame(signatures)
     return out
 
 
@@ -395,7 +398,9 @@ def minhash_jaccard_estimates(
     heavy_hitters verify-on-candidates precedent). All-integer output.
     """
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    sig = sig.select("*").persist()
+    # flat materialized signature table (multi-referenced: banding + both
+    # per-pair signature join sides — the lsh_candidate_pairs discipline)
+    sig = sig.localCheckpoint(eager=False)
     sig.count()
     pairs = lsh_candidate_pairs(sig, num_hashes, rows_per_band)
     agree = None
@@ -415,7 +420,22 @@ def minhash_jaccard_estimates(
         .join(sig_b, "doc_b")
         .select("doc_a", "doc_b", agree.cast("bigint").alias("n_agree"))
     )
-    shing = doc_shingles(df, text_col, id_col, k)
+    # exact-on-candidates, literally: restrict the corpus to documents that
+    # appear in some candidate pair BEFORE the shingle explode (previously
+    # the explode ran over the full corpus and the pair join filtered after
+    # — the docstring's "touches ONLY candidate docs' shingles" now holds at
+    # the scan, guide §2.3 project-before-the-exchange). The candidate id
+    # set is small by construction (LSH-bounded), so the semi join
+    # broadcasts; the exploded frame feeds three consumers (sizes + both
+    # intersection sides) and is persisted once.
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    shing = doc_shingles(cand_docs, text_col, id_col, k).localCheckpoint(eager=False)
+    shing.count()
     sizes = shing.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sh_a = shing.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = shing.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -447,7 +467,8 @@ def minhash_jaccard_estimates(
         # after the unpersist (the lsh_candidate_pairs discipline)
         .localCheckpoint(eager=True)
     )
-    sig.unpersist()
+    _release_frame(shing)
+    _release_frame(sig)
     return out
 
 
@@ -721,7 +742,9 @@ def remove_shared_windows(
         .select("doc_id", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
     )
     if eager:
-        wins = wins.persist()
+        # flat materialized window frame (multi-referenced by the
+        # first-occurrence agg and the decision join — guide §3.3)
+        wins = wins.localCheckpoint(eager=False)
         wins.count()
     first = wins.groupBy("h").agg(F.min(F.struct("doc_id", "s")).alias("f"))
     dup = (
@@ -734,7 +757,7 @@ def remove_shared_windows(
         # plan-inspection hook (tests): nothing was persisted or executed
         return out
     out = out.localCheckpoint(eager=True)
-    wins.unpersist()
+    _release_frame(wins)
     return out
 
 
@@ -742,42 +765,46 @@ def _strip_dup_windows(
     df: DataFrame, dup: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
     """Shared removal tail for the exact-substring APPLY family: duplicate
-    (doc_id, s) window starts -> interval cover -> one left join against
-    the token explode -> per-document ordered re-assembly. The dup frame
-    is tiny in clean corpora; everything else is narrow on the scan plus
-    one bounded collect_list per document."""
+    (doc_id, s) window starts -> interval cover -> per-document removed-
+    position ARRAYS (the only shuffled payload — duplicate metadata, tiny
+    in clean corpora) -> one broadcast-friendly left join back onto the
+    corpus -> ROW-LOCAL token filtering and re-assembly (array HOFs).
+
+    r6 rewrite (guide §2.3 "shuffle keys and metadata instead of
+    payloads"): the previous formulation posexploded EVERY corpus token
+    and shuffled them all through a collect_list groupBy just to drop the
+    few removed positions; now only the removed (doc_id, position) set is
+    shuffled/aggregated, and documents with no duplicates take a null-fast
+    path that never rebuilds their token array membership test."""
     n = token_count(F.col(text_col))
-    removed = dup.select(
-        "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("p")
-    ).distinct()
-    toks = (
-        df.select(F.col(id_col).alias("doc_id"), F.when(n > 0, tokens(F.col(text_col))).alias("ts"))
-        .select("doc_id", F.posexplode("ts").alias("p0", "tok"))
-        .select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    rm = (
+        dup.select(
+            "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("p")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("p").alias("rmp"))
     )
-    kept = toks.join(removed.withColumn("rm", F.lit(True)), ["doc_id", "p"], "left")
-    per_doc = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum(F.when(F.col("rm"), 1).otherwise(0)).alias("n_removed"),
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.array_sort(F.collect_list(F.struct("p", "tok", "rm"))),
-                    lambda x: x["rm"].isNull(),
-                ),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
+    toks = tokens(F.col(text_col))
+    kept_join = let_bound(
+        toks,
+        lambda ts: F.array_join(
+            F.filter(ts, lambda t, i: ~F.array_contains(F.col("rmp"), i + 1)), " "
+        ),
     )
     return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .join(rm, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
-            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(n, F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size("rmp"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce(
+                F.when(F.col("rmp").isNull(), F.array_join(toks, " ")).otherwise(
+                    kept_join
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
         )
     )
 
@@ -852,7 +879,9 @@ def remove_shared_windows_screened(
         .select("doc_id", F.col("w.s").alias("s"), F.col("w.rk").alias("rk"))
     )
     if eager:
-        wins = wins.persist()
+        # flat materialized window frame (multi-referenced by the
+        # first-occurrence agg and the decision join — guide §3.3)
+        wins = wins.localCheckpoint(eager=False)
         wins.count()
     cand_keys = wins.groupBy("rk").agg(F.count("*").alias("c")).where(F.col("c") >= 2)
     cand = wins.join(cand_keys.select("rk"), "rk").select("doc_id", "s")
@@ -891,7 +920,7 @@ def remove_shared_windows_screened(
     if not eager:
         return out
     out = out.localCheckpoint(eager=True)
-    wins.unpersist()
+    _release_frame(wins)
     return out
 
 
@@ -1068,14 +1097,20 @@ def connected_components(
     Returns (doc_id, component).
     """
     directed = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # localCheckpoint, not persist: the loop's per-round plans reference
+    # `edges` (and through it the caller's whole upstream lineage — scan,
+    # shingle explode, band self-join). A persist caches DATA but analysis/
+    # optimization still walks the full tree once per reference, so the
+    # FIRST round paid ~2 s of pure Catalyst planning at sandbox scale; a
+    # flat LogicalRDD base makes every round's plan O(round) (r6, guide
+    # §3.3: planning time itself can become the bottleneck).
     edges = (
         directed.union(
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    edges.count()
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
@@ -1110,7 +1145,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         if (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # eager=False: the convergence aggregate below is the round's
+            # materializing action — it computes AND caches the checkpoint
+            # RDD in one job instead of a count job followed by the agg job
+            # (r6: one scheduled job per round, not two)
+            new_labels = new_labels.localCheckpoint(eager=False)
         else:
             new_labels = new_labels.persist()
         new_sum = new_labels.agg(label_sum).collect()[0][0]
@@ -1131,7 +1170,7 @@ def connected_components(
             "(graph diameter exceeds max_iter); raise max_iter"
         )
     out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
-    edges.unpersist()
+    _release_frame(edges)
     return out
 
 
@@ -1217,31 +1256,48 @@ def connected_components_star(
         own = m.select("src", F.col("m").alias("dst"))
         return re_pointed.unionByName(own).distinct()
 
-    edges = (
+    # localCheckpoint, not persist, for the loop base: every star round
+    # references `edges` ~4 times, so with a persisted (data-cached but
+    # lineage-bearing) base the FIRST round's analysis/optimization walked
+    # 4 copies of the caller's entire upstream plan (scan -> shingles ->
+    # band self-join) — measured ~1.9 s of pure driver planning at sf0.1
+    # before a single task ran. The flat LogicalRDD base keeps every
+    # round's plan bounded (guide §3.3). The fingerprint aggregate below
+    # is the materializing action (eager=False: no separate count job).
+    edges0 = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
             F.least(F.col(id_a), F.col(id_b)).alias("dst"),
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
+    prev = edges0.agg(*fingerprint).collect()[0]
     # original vertex set: star contraction REWRITES edges, so vertices can
     # vanish from the edge list mid-stream; the final label join must cover
-    # every input vertex
+    # every input vertex. Derived lazily from the FLAT edges0 base (one
+    # cheap distinct inside the final label job — no upfront persist+count
+    # job; edges0 stays alive until the labels are materialized).
     vertices = (
-        edges.select(F.col("src").alias("doc_id"))
-        .unionByName(edges.select(F.col("dst").alias("doc_id")))
+        edges0.select(F.col("src").alias("doc_id"))
+        .unionByName(edges0.select(F.col("dst").alias("doc_id")))
         .distinct()
-        .persist()
     )
-    vertices.count()
-    prev = edges.agg(*fingerprint).collect()[0]
+    edges = edges0
     converged = False
     for it in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # eager=False: the fingerprint aggregate is the round's
+        # materializing action — one scheduled job per round instead of a
+        # checkpoint-count job plus the aggregate job (the previous frame
+        # is only released after this aggregate has run, so the new
+        # frame's checkpoint data is always in place first)
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = new_edges.agg(*fingerprint).collect()[0]
-        _release_frame(edges)
+        if edges is not edges0:
+            # edges0 must stay alive until the final label join (vertices
+            # derives from it); intermediate rounds release eagerly
+            _release_frame(edges)
         edges = new_edges
         if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
             converged = True
@@ -1250,8 +1306,9 @@ def connected_components_star(
             break
         prev = cur
     if not converged:
-        _release_frame(edges)
-        vertices.unpersist()
+        if edges is not edges0:
+            _release_frame(edges)
+        _release_frame(edges0)
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds; "
             "raise max_iter (expected O(log n) rounds)"
@@ -1267,6 +1324,7 @@ def connected_components_star(
         )
         .localCheckpoint(eager=True)
     )
-    _release_frame(edges)
-    vertices.unpersist()
+    if edges is not edges0:
+        _release_frame(edges)
+    _release_frame(edges0)
     return out

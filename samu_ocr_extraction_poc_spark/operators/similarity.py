@@ -548,6 +548,11 @@ def semantic_dedup(
             _norm(F.col(vec_col)).alias("nrm"),
         )
         .join(assign.select(F.col(id_col).alias("vid"), "cluster"), "vid")
+        # persist, NOT localCheckpoint (r6 A/B): a checkpointed LogicalRDD
+        # loses the size statistics the planner needs to broadcast the
+        # pair-join sides — measured 2.5 s -> 4.6 s when flattened; the
+        # InMemoryRelation keeps stats and the single downstream job makes
+        # the extra analysis walk affordable here
         .persist()
     )
     base.count()  # materialize: both self-join sides read the cache, not the lineage

@@ -36,6 +36,23 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate turns every explode(expensive_array_expr)
+        # into an inferred `size(expr) > 0` filter that Catalyst then pushes
+        # BELOW the repartition exchange — the whole shingle/window/k-gram
+        # array (md5 per element) is evaluated once in the low-parallelism
+        # scan stage just to be discarded, then recomputed above the
+        # exchange (measured: the filter stage alone was 1.1 s of the 3.0 s
+        # remove_shared_windows wall at sf0.1; excluding the rule took the
+        # query to 1.65 s with bit-identical results). Scale-independent:
+        # the doubled evaluation + filter-below-exchange placement is wrong
+        # at any cluster size for generator inputs that are never empty by
+        # construction (every explode in this engine guards emptiness
+        # explicitly). Results are unaffected — the rule only ever inserts
+        # redundant filters.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
