@@ -3754,10 +3754,17 @@ def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = _t(spark, sf_dir, "documents").select(
         F.explode(CP._kgrams(F.col("text"), 2)).alias("tok")
     )
-    est = SK.hll_estimate(SK.hll_build(items, "tok"))
-    exact = items.select(SK.hll_hash(F.col("tok")).alias("h")).agg(
-        F.count_distinct("h").cast("bigint").alias("exact_distinct")
+    # hash ONCE and share the hashed stream between the sketch build and
+    # the exact distinct count (r6, guide §1.2 "don't compute things
+    # twice"): previously each side re-ran the k-gram explode + md5 over
+    # the corpus — the dominant cost — in its own pass. The hashed column
+    # is a narrow bigint; the checkpoint materializes it in the count job.
+    hashed = items.select(SK.hll_hash(F.col("tok")).alias("h")).localCheckpoint(
+        eager=False
     )
+    hashed.count()
+    est = SK.hll_estimate(SK.hll_build(hashed, "h", pre_hashed=True))
+    exact = hashed.agg(F.count_distinct("h").cast("bigint").alias("exact_distinct"))
     return est.crossJoin(exact).select(
         "m",
         "occupied",
@@ -3811,21 +3818,31 @@ def hll_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     parity = CP._md5_bucket(F.col("doc_id"), 8, 2)
 
-    def items(d: DataFrame) -> DataFrame:
-        return d.select(F.explode(CP._kgrams(F.col("text"), 2)).alias("tok"))
-
-    # hll_merge's default handshake checkpoints each HALF-build once;
-    # `full` needs its own explicit checkpoint because BOTH the estimate
-    # read-off and the register-diff branch consume it — without it the
-    # corpus-sized full build executes twice (hll_estimate's internal
-    # eager checkpoint lands on a COPY; the diff branch would reuse the
-    # raw plan — r5 review finding). eager=False reads then skip the
-    # per-call checkpoints, the round-5 sketch convention.
+    # ONE corpus pass (r6, guide §1.2): explode the k-grams and md5-hash
+    # each item ONCE, tagged with its parity half, and feed all three
+    # register builds (half 0, half 1, full) from the cached hashed
+    # stream via the pre_hashed build — previously each build re-ran the
+    # corpus-sized explode+md5 (the dominant cost, 3 passes). This is
+    # exactly the oracle's CTE structure (hmh materialized once; hhalf
+    # and hfull both derive from it); the mergeability check is
+    # unchanged — merged comes from the two per-half builds through
+    # hll_merge, full from an independent single-level build over the
+    # same items.
+    hashed = docs.select(
+        parity.alias("half"),
+        F.explode(CP._kgrams(F.col("text"), 2)).alias("tok"),
+    ).select("half", SK.hll_hash(F.col("tok")).alias("h")).localCheckpoint(eager=False)
+    hashed.count()
     merged = SK.hll_merge(
-        SK.hll_build(items(docs.where(parity == 0)), "tok"),
-        SK.hll_build(items(docs.where(parity == 1)), "tok"),
+        SK.hll_build(hashed.where(F.col("half") == 0), "h", pre_hashed=True),
+        SK.hll_build(hashed.where(F.col("half") == 1), "h", pre_hashed=True),
     )
-    full = SK.hll_build(items(docs), "tok").localCheckpoint(eager=True)
+    # `full` needs its own explicit checkpoint because BOTH the estimate
+    # read-off and the register-diff branch consume it (r5 review
+    # finding); the build itself is now a cheap agg over the cached
+    # hashed stream. eager=False reads then skip the per-call
+    # checkpoints, the round-5 sketch convention.
+    full = SK.hll_build(hashed, "h", pre_hashed=True).localCheckpoint(eager=True)
     ef = SK.hll_estimate(full, eager=False).select(F.col("est").alias("est_full"))
     em = SK.hll_estimate(merged, eager=False).select(
         F.col("est").alias("est_merged")
@@ -4767,14 +4784,23 @@ def cms_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical on DuckDB."""
     from .operators import sketch as SK
 
-    keys_a = _t(spark, sf_dir, "orders").select(
-        F.when(F.col("o_orderkey") % 4 == 0, F.lit(0).cast("bigint"))
-        .otherwise(F.col("o_custkey"))
-        .cast("string")
-        .alias("k")
+    # each key stream feeds BOTH its sketch build and its exact per-key
+    # count — materialize the narrow key column once per table instead of
+    # re-running the scan + repartition per consumer (r6, guide §1.2)
+    keys_a = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderkey") % 4 == 0, F.lit(0).cast("bigint"))
+            .otherwise(F.col("o_custkey"))
+            .cast("string")
+            .alias("k")
+        )
+        .localCheckpoint(eager=False)
     )
-    keys_b = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").cast("string").alias("k")
+    keys_b = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("string").alias("k"))
+        .localCheckpoint(eager=False)
     )
     sk_a = SK.cms_build(keys_a, "k", width=512, depth=3).localCheckpoint(eager=True)
     sk_b = SK.cms_build(keys_b, "k", width=512, depth=3).localCheckpoint(eager=True)
@@ -4921,13 +4947,17 @@ def grouped_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = _t(spark, sf_dir, "documents").select(
         "lang", F.explode(CP._kgrams(F.col("text"), 2)).alias("tok")
     )
+    # hash once, share between the grouped build and the per-group exact
+    # count (the hll_distinct r6 single-pass pattern applied per group)
+    hashed = items.select(
+        "lang", SK.hll_hash(F.col("tok")).alias("h")
+    ).localCheckpoint(eager=False)
+    hashed.count()
     est = SK.hll_estimate_grouped(
-        SK.hll_build_grouped(items, "lang", "tok"), "lang"
+        SK.hll_build_grouped(hashed, "lang", "h", pre_hashed=True), "lang"
     )
-    exact = (
-        items.select("lang", SK.hll_hash(F.col("tok")).alias("h"))
-        .groupBy("lang")
-        .agg(F.count_distinct("h").cast("bigint").alias("exact_distinct"))
+    exact = hashed.groupBy("lang").agg(
+        F.count_distinct("h").cast("bigint").alias("exact_distinct")
     )
     return est.join(exact, "lang").select(
         "lang",

@@ -68,6 +68,8 @@ _STOPWORDS = {
 
 _WORD_RE = re.compile(r"[A-Za-z]+")
 
+_COUNTY_STATE = {"County", "State"}
+
 
 def _ordered_distinct(items):
     seen = set()
@@ -84,28 +86,34 @@ def extract_entity_types(text: str | None) -> list[str]:
     entity TYPES, mirroring text-comprehend.ts:81-105."""
     if not text:
         return []
+    # hot path of the Arrow extraction stage (called once per page/text):
+    # locals bound outside the loops, the per-call set literal hoisted —
+    # semantics byte-identical to the original (pinned by goldens)
     hits: list[tuple[int, str]] = []
+    ap = hits.append
     for m in _DATE_RE.finditer(text):
-        hits.append((m.start(), "DATE"))
+        ap((m.start(), "DATE"))
+    dmatch = _DATE_RE.match
     for m in _QUANTITY_RE.finditer(text):
-        if _DATE_RE.match(m.group(0)):
+        if dmatch(m.group(0)):
             continue
-        hits.append((m.start(), "QUANTITY"))
+        ap((m.start(), "QUANTITY"))
+    org, states, hon = _ORG_SUFFIX, _STATES, _HONORIFICS
     for m in _CAP_RUN_RE.finditer(text):
         phrase = m.group(0)
         words = phrase.split()
         if len(words) < 2:
-            if phrase in _STATES:
-                hits.append((m.start(), "LOCATION"))
+            if phrase in states:
+                ap((m.start(), "LOCATION"))
             continue
-        if words[-1] in _ORG_SUFFIX or any(w in _ORG_SUFFIX for w in words):
-            hits.append((m.start(), "ORGANIZATION"))
-        elif any(w in _STATES for w in words) or words[0] in {"County", "State"} or "County" in words or "State" in words:
-            hits.append((m.start(), "LOCATION"))
-        elif words[0] in _HONORIFICS or len(words) == 2:
-            hits.append((m.start(), "PERSON"))
+        if words[-1] in org or any(w in org for w in words):
+            ap((m.start(), "ORGANIZATION"))
+        elif any(w in states for w in words) or words[0] in _COUNTY_STATE or "County" in words or "State" in words:
+            ap((m.start(), "LOCATION"))
+        elif words[0] in hon or len(words) == 2:
+            ap((m.start(), "PERSON"))
         else:
-            hits.append((m.start(), "OTHER"))
+            ap((m.start(), "OTHER"))
     hits.sort(key=lambda h: h[0])
     return _ordered_distinct(t for _, t in hits)
 
@@ -114,9 +122,14 @@ def detect_sentiment(text: str | None) -> str | None:
     """N2: lexicon scorer -> POSITIVE/NEGATIVE/NEUTRAL/MIXED (README.md:231)."""
     if not text:
         return None
-    words = [w.lower() for w in _WORD_RE.findall(text)]
-    pos = sum(1 for w in words if w in _POSITIVE)
-    neg = sum(1 for w in words if w in _NEGATIVE)
+    pos = neg = 0
+    positive, negative = _POSITIVE, _NEGATIVE
+    for w in _WORD_RE.findall(text):
+        lw = w.lower()
+        if lw in positive:
+            pos += 1
+        elif lw in negative:
+            neg += 1
     if pos == 0 and neg == 0:
         return "NEUTRAL"
     if pos > neg:

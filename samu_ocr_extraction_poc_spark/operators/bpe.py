@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .dedup import _release_frame
 from ..functions.textfns import let_bound, normalized, tokens
 
 
@@ -92,9 +93,12 @@ def bpe_train(
     O(checkpoint_every) replaces over a vocabulary-sized frame and Catalyst
     never sees more than ``checkpoint_every`` nested projections.
     """
+    # flat materialized word table (r6): every round's pair-count plan
+    # re-analyzes the base's lineage; a localCheckpoint makes that base a
+    # LogicalRDD so round plans stay O(replaces-since-checkpoint)
     words = _word_freqs(df, text_col).select(
         _char_wrapped(F.col("w")).alias("s"), "freq"
-    ).persist()
+    ).localCheckpoint(eager=False)
     words.count()
 
     merges: list[tuple[int, str, str, str, int]] = []
@@ -119,7 +123,7 @@ def bpe_train(
         )
         if checkpoint_every and idx % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
-    words.unpersist()
+    _release_frame(words)
     return merges
 
 

@@ -104,9 +104,18 @@ def pagerank(
     Returns (node, rank) with rank in scale units; join degrees back in
     the caller if wanted.
     """
-    n = nodes.select(id_col).distinct().count()
+    # flat materialized node table (r6): node_t and out_deg are referenced
+    # by EVERY iteration's plan, so with lineage-bearing frames the final
+    # action's analysis walks `iterations` copies of the upstream scan
+    # plan; the count below doubles as n (same distinct id set) and
+    # materializes the checkpoint (guide §3.3)
+    node_t = (
+        nodes.select(F.col(id_col).cast("bigint").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = node_t.count()
     teleport = ((100 - damping_pct) * (scale // n)) // 100
-    node_t = nodes.select(F.col(id_col).cast("bigint").alias("node")).distinct()
     # All joins below are name-based using-joins on freshly-aliased
     # columns: from iteration 2 the ranks lineage contains the edge
     # table, and dataframe-attribute references (df["col"]) trip Spark's
@@ -115,6 +124,7 @@ def pagerank(
         edges.groupBy("src")
         .agg(F.count("*").alias("out_deg"))
         .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=False)
     )
     # `pr`, not `rank`, internally: `rank` is a window-function keyword
     # inside F.expr and must not shadow the column reference.

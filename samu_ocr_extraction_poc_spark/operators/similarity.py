@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import _release_frame
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -240,10 +242,14 @@ def kmeans_assign(
     """
     from ..functions.textfns import let_bound
 
+    # flat materialized base (r6): the seed collect, every iteration's
+    # centroid-recompute collect, and the final assignment each re-ran the
+    # corpus scan + repartition and re-analyzed its lineage; the seed
+    # collect below materializes the checkpoint (guide §3.3)
     base = corpus.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     cent = [
         (i, list(r["v"]))
         for i, r in enumerate(base.orderBy("vid").limit(k).collect())
@@ -287,9 +293,11 @@ def kmeans_assign(
             ]
     # localCheckpoint (eager) materializes the final assignment and cuts
     # lineage — the caller gets a plain frame with no unpersist obligation
-    return assign.select(F.col("vid").alias(id_col), "cluster").localCheckpoint(
+    out = assign.select(F.col("vid").alias(id_col), "cluster").localCheckpoint(
         eager=True
     )
+    _release_frame(base)
+    return out
 
 
 QUANT_SCALE = 1_000_000  # fixed-point scale for sign-exact LSH (see below)

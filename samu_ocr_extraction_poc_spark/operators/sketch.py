@@ -865,6 +865,7 @@ def hll_build(
     key_col: str = "key",
     p: int = 8,
     w_bits: int = 32,
+    pre_hashed: bool = False,
 ) -> DataFrame:
     """Distributed HyperLogLog BUILD (Flajolet et al. 2007) — the
     register-table form of the family's DISTINCT-COUNT sketch. Spark's
@@ -886,9 +887,17 @@ def hll_build(
     Mergeable: union -> groupBy max is EXACTLY the sketch of the
     concatenated streams (hll_merge). Stored as (bucket, r) rows plus
     meta rows bucket=-1 (p) / bucket=-2 (w_bits), the separate-rows
-    handshake."""
+    handshake.
+
+    ``pre_hashed=True`` treats ``key_col`` as an ALREADY-COMPUTED
+    :func:`hll_hash` BIGINT (same p/w_bits) instead of raw items — the
+    share-one-hash-pass form for callers that need the hashed stream
+    more than once (e.g. a sketch next to the exact distinct count over
+    the same domain: hash once, cache the small hashed column, feed
+    both consumers — one corpus pass instead of two). Register values
+    are identical by construction (pinned by test)."""
     _hll_check_params(p, w_bits)
-    cells = _hll_cells(df, key_col, p, w_bits)
+    cells = _hll_cells(df, key_col, p, w_bits, pre_hashed=pre_hashed)
     meta = df.sparkSession.createDataFrame(
         [(_HLL_META_P, p), (_HLL_META_W, w_bits)], "bucket bigint, r bigint"
     )
@@ -901,12 +910,14 @@ def _hll_cells(
     p: int,
     w_bits: int,
     group_col: str | None = None,
+    pre_hashed: bool = False,
 ) -> DataFrame:
     """The ONE register construction (hash -> bucket/w split -> exact
     bit-length rho -> groupBy max) shared by the global and grouped
     builds, so the sketch semantics cannot fork between them. With
-    ``group_col`` the register key is (g__, bucket); without, (bucket)."""
-    h = hll_hash(F.col(key_col), p, w_bits)
+    ``group_col`` the register key is (g__, bucket); without, (bucket).
+    ``pre_hashed`` skips the md5 (key_col already holds the hll_hash)."""
+    h = F.col(key_col).cast("bigint") if pre_hashed else hll_hash(F.col(key_col), p, w_bits)
     rho = F.expr(
         f"CASE WHEN w__ = 0 THEN {w_bits + 1} "
         f"ELSE {w_bits} - length(bin(w__)) + 1 END"
@@ -1078,6 +1089,7 @@ def hll_build_grouped(
     key_col: str = "key",
     p: int = 8,
     w_bits: int = 32,
+    pre_hashed: bool = False,
 ) -> DataFrame:
     """Per-GROUP HyperLogLog registers — the stratified form of
     :func:`hll_build` (per-source / per-language distinct counts, the
@@ -1095,7 +1107,7 @@ def hll_build_grouped(
     global build's. Mergeable per group by MAX, the hll_merge property
     unchanged."""
     _hll_check_params(p, w_bits)
-    cells = _hll_cells(df, key_col, p, w_bits, group_col=group_col)
+    cells = _hll_cells(df, key_col, p, w_bits, group_col=group_col, pre_hashed=pre_hashed)
     meta = df.sparkSession.createDataFrame(
         [(_HLL_META_P, p), (_HLL_META_W, w_bits), (_HLL_META_G, 1)],
         "bucket bigint, r bigint",

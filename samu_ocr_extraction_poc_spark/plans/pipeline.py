@@ -177,6 +177,10 @@ def extract_document(
 
     # OCR media refs inline so their text participates in line flows (S5/S6
     # collapse: the async job split disappears in batch, SURVEY §2.1).
+    # Non-media spans are shared, not copied: no downstream operator
+    # mutates a span dict (get_header's _splice edits its own list of
+    # references; _reinterleave builds fresh dicts), and the per-span
+    # dict() copy was a measurable slice of the Arrow-stage Python time.
     work_spans = []
     for s in spans:
         if s.get("kind") == "media":
@@ -189,7 +193,7 @@ def extract_document(
                 }
             )
         else:
-            work_spans.append(dict(s))
+            work_spans.append(s)
 
     try:
         if doc_type == "pleading":

@@ -3312,3 +3312,42 @@ def test_minhash_jaccard_estimates_match_replay(spark):
     # doc 4 shares no shingles with anyone: if banding ever surfaced it,
     # exact_e4 would be 0 — it must simply be absent
     assert not any(4 in pair for pair in got)
+
+
+def test_hll_build_pre_hashed_matches_raw_build(spark):
+    """The share-one-hash-pass form (hll_build(..., pre_hashed=True) over a
+    precomputed hll_hash column) must produce byte-identical register
+    tables — global and grouped — to the raw-item builds (the r6
+    single-pass contract entries rely on this equivalence)."""
+    from pyspark.sql import functions as F
+
+    from samu_ocr_extraction_poc_spark.operators.sketch import (
+        hll_build,
+        hll_build_grouped,
+        hll_hash,
+    )
+
+    items = spark.createDataFrame(
+        [(w, g) for i, (w, g) in enumerate(
+            [(f"tok{j % 17}", "ab"[j % 2]) for j in range(200)]
+        )],
+        "key string, grp string",
+    )
+    hashed = items.select("grp", hll_hash(F.col("key")).alias("h"))
+
+    raw = {(r["bucket"], r["r"]) for r in hll_build(items, "key").collect()}
+    pre = {
+        (r["bucket"], r["r"])
+        for r in hll_build(hashed, "h", pre_hashed=True).collect()
+    }
+    assert raw == pre and len(raw) > 2  # cells + the 2 meta sentinels
+
+    raw_g = {
+        (r["grp"], r["bucket"], r["r"])
+        for r in hll_build_grouped(items, "grp", "key").collect()
+    }
+    pre_g = {
+        (r["grp"], r["bucket"], r["r"])
+        for r in hll_build_grouped(hashed, "grp", "h", pre_hashed=True).collect()
+    }
+    assert raw_g == pre_g and len(raw_g) > 3
