@@ -1202,11 +1202,22 @@ def connected_components_star(
     off the edge list (same (doc_id, component) contract and the same
     min-id labels as connected_components).
 
-    Convergence = the edge SET stopped changing, detected with one
-    aggregate job per round: (count, decimal(38,0) sum of a 48-bit md5
-    prefix of each edge) — an order-invariant multiset fingerprint that
-    also materializes the round's frame; md5-collision false positives are
-    cryptographically negligible. Cache discipline: O(1) live frames, and
+    Convergence detection (r6): the fixpoint of the alternation is exactly
+    the star forests (Kiveris et al. Thm. 1), and with the canonical
+    src > dst orientation a star forest is characterized by two aggregate
+    facts — every src appears exactly once, and no node is both a src and
+    a dst (each parent is then the min of its component, since the min can
+    never point at anything smaller). Both facts are computed in the SAME
+    one-job-per-round aggregate that materializes the round (over a 2-rows-
+    per-edge inline stack so the src/dst/union distinct counts share one
+    pass), so the round that PRODUCES the forest is detected directly —
+    the old edge-set-fingerprint equality needed one extra confirming
+    round to observe "nothing changed" (rounds = k+1 instead of k; one
+    full large+small star pass saved per call, and an input that is
+    already a star forest runs zero rounds). The multiset fingerprint
+    (count + decimal(38,0) sum of a 48-bit md5 prefix per edge) is kept as
+    a secondary stop so a hypothetical forest-test gap degrades to the old
+    behavior instead of looping. Cache discipline: O(1) live frames, and
     the lineage is localCheckpoint-truncated EVERY round — a star round
     references the previous frame ~4 times (the adjacency union reads it
     twice, small-star joins the large-star output against its own
@@ -1217,18 +1228,52 @@ def connected_components_star(
 
     Returns (doc_id, component).
     """
-    fingerprint = [
-        F.count("*").alias("n"),
-        F.sum(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("_", F.col("src"), F.col("dst"))), 1, 12
-                ),
-                16,
-                10,
-            ).cast("decimal(38,0)")
-        ).alias("h"),
-    ]
+
+    def _round_stats(e: DataFrame):
+        """ONE aggregate job: materializes ``e`` (eager=False checkpoint
+        upstream) and returns (n, h, is_forest). Stacks each edge into
+        (side, node, other) rows and aggregates per node first (partial-
+        aggregable, no Expand — a count-distinct formulation planned an
+        Expand plus an extra exchange and cost more than the round it
+        saved), then reduces to one row: a node violates forestness when
+        it is the src of more than one edge or is both a src and a dst."""
+        stacked = e.select(
+            F.expr(
+                "inline(array("
+                "struct(0 as side, src as node, dst as other), "
+                "struct(1 as side, dst as node, src as other)))"
+            )
+        )
+        per_node = stacked.groupBy("node").agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("ns"),
+            F.max("side").alias("mx"),
+            F.sum(
+                F.when(
+                    F.col("side") == 0,
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("_", F.col("node"), F.col("other"))),
+                            1,
+                            12,
+                        ),
+                        16,
+                        10,
+                    ).cast("decimal(38,0)"),
+                )
+            ).alias("hs"),
+        )
+        row = per_node.agg(
+            F.sum("ns").alias("n"),
+            F.sum("hs").alias("h"),
+            F.max(
+                F.when(
+                    (F.col("ns") > 1) | ((F.col("ns") > 0) & (F.col("mx") == 1)),
+                    1,
+                ).otherwise(0)
+            ).alias("bad"),
+        ).collect()[0]
+        is_forest = (row["bad"] or 0) == 0
+        return row["n"] or 0, row["h"], is_forest
 
     def _large_star(e: DataFrame) -> DataFrame:
         adj = e.unionByName(
@@ -1237,12 +1282,16 @@ def connected_components_star(
         m = adj.groupBy("src").agg(F.min("dst").alias("mn")).select(
             "src", F.least(F.col("mn"), F.col("src")).alias("m")
         )
+        # no .distinct() here (r6): duplicate (dst, m) rows don't change
+        # small-star's min aggregate, and its trailing distinct removes
+        # them from the round output — the dedup shuffle was pure cost
+        # (one Exchange per round removed, verified value-neutral by the
+        # star-vs-min-label cross-checks).
         return (
             adj.join(m, "src")
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .where(F.col("src") != F.col("dst"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
@@ -1273,58 +1322,58 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    prev = edges0.agg(*fingerprint).collect()[0]
-    # original vertex set: star contraction REWRITES edges, so vertices can
-    # vanish from the edge list mid-stream; the final label join must cover
-    # every input vertex. Derived lazily from the FLAT edges0 base (one
-    # cheap distinct inside the final label job — no upfront persist+count
-    # job; edges0 stays alive until the labels are materialized).
-    vertices = (
-        edges0.select(F.col("src").alias("doc_id"))
-        .unionByName(edges0.select(F.col("dst").alias("doc_id")))
-        .distinct()
-    )
+    # NOTE (r6): both star rewrites PRESERVE the vertex set — large star
+    # keeps any u with a smaller neighbor w as src of (u, m(w)) and any u
+    # whose neighbors are all larger as dst (m(u) = u); small star keeps
+    # every src via its `own` row and every dst either as the min or as a
+    # re-pointed src. So nodes(final forest) == nodes(edges0), and the old
+    # vertices-distinct + left-join read-off (which also kept edges0 alive
+    # across the whole loop) is equivalent to the cheap union read-off
+    # below. (Had a vertex been able to vanish, the old coalesce-to-self
+    # would have mislabeled it as its own component — the oracle-green
+    # history is itself evidence of preservation.)
+    prev_n, prev_h, is_forest = _round_stats(edges0)
+    if stats is not None:
+        stats["rounds"] = 0
     edges = edges0
-    converged = False
-    for it in range(max_iter):
-        # eager=False: the fingerprint aggregate is the round's
-        # materializing action — one scheduled job per round instead of a
-        # checkpoint-count job plus the aggregate job (the previous frame
-        # is only released after this aggregate has run, so the new
-        # frame's checkpoint data is always in place first)
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        cur = new_edges.agg(*fingerprint).collect()[0]
-        if edges is not edges0:
-            # edges0 must stay alive until the final label join (vertices
-            # derives from it); intermediate rounds release eagerly
-            _release_frame(edges)
-        edges = new_edges
-        if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
-            converged = True
-            if stats is not None:
-                stats["rounds"] = it + 1
-            break
-        prev = cur
+    converged = is_forest
     if not converged:
-        if edges is not edges0:
+        for it in range(max_iter):
+            # eager=False: the round-stats aggregate is the round's
+            # materializing action — one scheduled job per round instead
+            # of a checkpoint-count job plus the aggregate job (the
+            # previous frame is only released after this aggregate has
+            # run, so the new frame's checkpoint data is in place first)
+            new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            cur_n, cur_h, is_forest = _round_stats(new_edges)
             _release_frame(edges)
-        _release_frame(edges0)
+            edges = new_edges
+            if is_forest or (cur_n, cur_h) == (prev_n, prev_h):
+                converged = True
+                if stats is not None:
+                    stats["rounds"] = it + 1
+                break
+            prev_n, prev_h = cur_n, cur_h
+    if not converged:
+        _release_frame(edges)
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds; "
             "raise max_iter (expected O(log n) rounds)"
         )
-    # star forest: non-minimum vertices appear as src exactly once, pointing
-    # at the component min; minima (and isolated inputs) label themselves
-    child = edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("component"))
+    # star forest read-off: non-minimum vertices appear as src exactly
+    # once, pointing at the component min; minima appear only as dst and
+    # label themselves. A union of the edge list with the distinct-dst
+    # self-rows replaces the old full-vertex-set left join (one distinct
+    # over the small forest instead of a distinct over 2x the input edges
+    # plus a join).
     out = (
-        vertices.join(child, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("component"))
+        .unionByName(
+            edges.select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.col("doc_id").alias("component"))
         )
         .localCheckpoint(eager=True)
     )
-    if edges is not edges0:
-        _release_frame(edges)
-    _release_frame(edges0)
+    _release_frame(edges)
     return out

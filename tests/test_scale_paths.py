@@ -869,6 +869,43 @@ def test_connected_components_star_known_graph_and_cache(spark):
     assert after - before <= 1
 
 
+def test_connected_components_star_forest_early_stop(spark):
+    """r6 convergence detection: the round that PRODUCES the star forest is
+    detected directly (no fingerprint-equality confirming round), and an
+    input that already IS a star forest runs zero rounds — labels are
+    unchanged in both cases."""
+    from samu_ocr_extraction_poc_spark.operators.dedup import connected_components_star
+
+    # isolated pairs + an existing star: already a forest -> 0 rounds
+    forest = spark.createDataFrame(
+        [(1, 2), (10, 11), (20, 21), (20, 22)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(forest, stats=stats).collect()
+    }
+    assert stats["rounds"] == 0
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    # depth-2 chain: NOT a forest (2 is src and dst); one large+small round
+    # contracts it, and the forest test fires on that same round's output
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    stats = {}
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(chain, stats=stats).collect()
+    }
+    assert stats["rounds"] == 1
+    assert got == {1: 1, 2: 1, 3: 1}
+
+    # empty pair set: trivially converged, empty labels, no crash
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    stats = {}
+    assert connected_components_star(empty, stats=stats).count() == 0
+    assert stats["rounds"] == 0
+
+
 def test_keep_canonical_both_variants_agree(spark):
     """keep_canonical drops every clustered non-minimum and keeps isolated
     docs untouched; the min-label and star-contraction cluster backends
