@@ -352,8 +352,13 @@ def lsh_candidate_pairs(
     # reference — the flat LogicalRDD keeps the pair plan's analysis
     # bounded (guide §3.3). The checkpoint is on a NEW frame, so any cache
     # the caller set up on its own frame is untouched.
+    # eager=False and NO count (r6): the single eager pair action below
+    # materializes the checkpoint on first access and both self-join
+    # sides read the same cached RDD within that one job — the separate
+    # signature-materialization job was pure overhead (block-level locks
+    # serialize any same-partition race inside a job; the multi-JOB fill
+    # race this used to guard against cannot arise from one action).
     signatures = signatures.localCheckpoint(eager=False)
-    signatures.count()
     exploded = _banded(signatures, num_hashes, rows_per_band)
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -587,14 +592,18 @@ def ngram_jaccard_pairs(
     """
     # The inverted index feeds three consumers (sizes, document frequencies,
     # the pair join); persist it once instead of recomputing the explode —
-    # at scale this is the materialized inverted index.
-    pairs_base = doc_shingles(df, text_col, id_col, k).persist()
+    # at scale this is the materialized inverted index. Cached ALREADY
+    # KEYED by shingle (r6, guide §2.4): the df groupBy, the hot-shingle
+    # cut join, and the candidate self-join all consume hashpartitioning
+    # (shingle), so none plans its own exchange of the index — and with
+    # the cut join now a cache-local co-partitioned probe, recomputing it
+    # once per self-join side is cheaper than the extra persist+count
+    # materialization pass it used to take to run it once (interleaved
+    # A/B 1.61 -> 1.34 s at sf0.1, values identical).
+    pairs_base = doc_shingles(df, text_col, id_col, k).repartition("shingle").persist()
     sizes = pairs_base.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     df_counts = pairs_base.groupBy("shingle").agg(F.count("*").alias("df"))
-    # both sides of the candidate self-join read `filtered`; persist +
-    # materialize so the hot-shingle cut join runs once
-    filtered = pairs_base.join(df_counts.where(F.col("df") <= max_df), "shingle").persist()
-    filtered.count()
+    filtered = pairs_base.join(df_counts.where(F.col("df") <= max_df), "shingle")
     a = filtered.alias("a")
     b = filtered.alias("b")
     common = (
@@ -630,7 +639,6 @@ def ngram_jaccard_pairs(
         # a lazy return would pin them for the caller's lifetime
         .localCheckpoint(eager=True)
     )
-    filtered.unpersist()
     pairs_base.unpersist()
     return out
 
@@ -653,17 +661,16 @@ def shared_window_pairs(
     Returns (doc_a, doc_b, n_shared) with n_shared = number of distinct
     shared windows, >= min_shared.
     """
-    # persist AND materialize eagerly — the frame feeds the df-count and
-    # the df-cut join; a lazy persist lets consumers race to fill the
-    # cache and compute the shingle explode repeatedly (the
-    # lsh_candidate_pairs convention)
-    sh = doc_shingles(df, text_col, id_col, k).persist()
-    sh.count()
+    # shingle-keyed cached index (r6, the ngram_jaccard_pairs layout): one
+    # exchange serves the df groupBy, the cut join, and the self-join; the
+    # cut join re-runs once per self-join side as a cache-local
+    # co-partitioned probe, which beats the persist+count materialization
+    # pass that used to run it once. The single eager action below fills
+    # the lazy cache within one job (the multi-JOB fill race the
+    # lsh_candidate_pairs convention guards against does not arise).
+    sh = doc_shingles(df, text_col, id_col, k).repartition("shingle").persist()
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    # `filtered` feeds BOTH self-join sides: persist + materialize so the
-    # sh⨝dfc cut join runs once, not once per side (round-2 recomputed it)
-    filtered = sh.join(dfc.where(F.col("df") <= max_df), "shingle").persist()
-    filtered.count()
+    filtered = sh.join(dfc.where(F.col("df") <= max_df), "shingle")
     a = filtered.alias("a")
     b = filtered.alias("b")
     out = (
@@ -675,7 +682,6 @@ def shared_window_pairs(
         # eager pair result so the index caches release before returning
         .localCheckpoint(eager=True)
     )
-    filtered.unpersist()
     sh.unpersist()
     return out
 

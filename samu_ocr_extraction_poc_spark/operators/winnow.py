@@ -88,17 +88,17 @@ def winnow_candidate_pairs(
 
     Returns (id_a, id_b, n_shared).
     """
+    # fp-keyed cached index (r6, the ngram_jaccard_pairs layout): one
+    # exchange serves the df groupBy, the cut join, and the self-join; the
+    # final eager action fills the lazy cache in one job, so the old
+    # per-stage persist+count materialization passes were pure overhead.
     fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
     if eager:
-        fps.persist()
-        fps.count()
+        fps = fps.repartition("fp").persist()
     dfc = fps.groupBy("fp").agg(F.count("*").alias("df_cnt"))
     filtered = fps.join(dfc.where(F.col("df_cnt") <= max_df), "fp").select(
         "doc_id", "fp"
     )
-    if eager:
-        filtered.persist()
-        filtered.count()
     a = filtered.alias("a")
     b = filtered.alias("b")
     out = (
@@ -112,6 +112,5 @@ def winnow_candidate_pairs(
         # plan-inspection hook (tests): nothing was persisted or executed
         return out
     out = out.localCheckpoint(eager=True)
-    filtered.unpersist()
     fps.unpersist()
     return out
