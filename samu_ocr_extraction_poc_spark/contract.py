@@ -2503,12 +2503,24 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition is two left-semi joins on doc_id (both sides small relative
     to the corpus, AQE broadcasts them when they fit)."""
     docs = _t(spark, sf_dir, "documents")
+    from .functions.jobs import run_jobs
     from .operators import corpus as CP
 
-    q = CP.quality_filter(docs).select("doc_id")
-    sig = DD.minhash_signatures(docs, num_hashes=8, k=3)
-    pairs = DD.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    canon = DD.keep_canonical(docs, pairs).select("doc_id")
+    # the quality gate and the LSH->components canonical gate are
+    # independent up to the final doc_id joins — materialize the quality
+    # side concurrently with the components chain (guide §2.6): the
+    # executors are mostly idle during the components loop's driver
+    # barriers, so the gate job back-fills them for free (values
+    # unchanged; each job is what it was sequentially)
+    def _q_gate():
+        return CP.quality_filter(docs).select("doc_id").localCheckpoint(eager=True)
+
+    def _canon_gate():
+        sig = DD.minhash_signatures(docs, num_hashes=8, k=3)
+        pairs = DD.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+        return DD.keep_canonical(docs, pairs).select("doc_id")
+
+    q, canon = run_jobs(_q_gate, _canon_gate)
     sampled = CP.sample_documents(
         docs, rates={"en": 500, "de": 250}, default_rate=100
     )
@@ -2766,15 +2778,30 @@ def curate_corpus_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH path uses. Composition = three left-semi joins on doc_id (gate
     outputs are small; AQE broadcasts them)."""
     docs = _t(spark, sf_dir, "documents")
+    from .functions.jobs import run_jobs
     from .operators import corpus as CP
     from .operators import winnow as WN
 
     bl = CP.blocklist_filter(docs, ["spark", "vector"], max_hits=2).select("doc_id")
-    src = CP.source_filter(docs, min_mean_quality=0.52).select("doc_id")
-    wp = WN.winnow_candidate_pairs(
-        docs, k=4, w=5, min_shared=2, max_df=20
-    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    canon = DD.keep_canonical(docs, wp).select("doc_id")
+
+    # the source gate and the winnow->components canonical gate are
+    # independent until the final joins — overlap them (guide §2.6, the
+    # curate_corpus pattern); the blocklist gate is a narrow lazy filter
+    # and stays in the final job
+    def _src_gate():
+        return (
+            CP.source_filter(docs, min_mean_quality=0.52)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+
+    def _canon_gate():
+        wp = WN.winnow_candidate_pairs(
+            docs, k=4, w=5, min_shared=2, max_df=20
+        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        return DD.keep_canonical(docs, wp).select("doc_id")
+
+    src, canon = run_jobs(_src_gate, _canon_gate)
     return (
         docs.select("doc_id", "lang", "source")
         .join(bl, "doc_id", "left_semi")
@@ -3762,7 +3789,6 @@ def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = items.select(SK.hll_hash(F.col("tok")).alias("h")).localCheckpoint(
         eager=False
     )
-    hashed.count()
     est = SK.hll_estimate(SK.hll_build(hashed, "h", pre_hashed=True))
     exact = hashed.agg(F.count_distinct("h").cast("bigint").alias("exact_distinct"))
     return est.crossJoin(exact).select(
@@ -4974,7 +5000,6 @@ def grouped_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = items.select(
         "lang", SK.hll_hash(F.col("tok")).alias("h")
     ).localCheckpoint(eager=False)
-    hashed.count()
     est = SK.hll_estimate_grouped(
         SK.hll_build_grouped(hashed, "lang", "h", pre_hashed=True), "lang"
     )

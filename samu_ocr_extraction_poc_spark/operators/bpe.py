@@ -99,7 +99,8 @@ def bpe_train(
     words = _word_freqs(df, text_col).select(
         _char_wrapped(F.col("w")).alias("s"), "freq"
     ).localCheckpoint(eager=False)
-    words.count()
+    # no pre-count (r6): the first round's pair-count collect materializes
+    # the checkpoint; later rounds read the cache
 
     merges: list[tuple[int, str, str, str, int]] = []
     cur = words

@@ -406,7 +406,6 @@ def minhash_jaccard_estimates(
     # flat materialized signature table (multi-referenced: banding + both
     # per-pair signature join sides — the lsh_candidate_pairs discipline)
     sig = sig.localCheckpoint(eager=False)
-    sig.count()
     pairs = lsh_candidate_pairs(sig, num_hashes, rows_per_band)
     agree = None
     for i in range(num_hashes):
@@ -440,7 +439,6 @@ def minhash_jaccard_estimates(
     )
     cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     shing = doc_shingles(cand_docs, text_col, id_col, k).localCheckpoint(eager=False)
-    shing.count()
     sizes = shing.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sh_a = shing.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = shing.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -553,7 +551,6 @@ def simhash_multiprobe_pairs(
     base = sig.select("doc_id", "simhash", F.explode(probes).alias("p")).select(
         "doc_id", "simhash", F.col("p.probe").alias("probe"), F.col("p.bkey").alias("bkey")
     ).persist()
-    base.count()
     a = base.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "probe", "bkey"
     )
@@ -751,7 +748,6 @@ def remove_shared_windows(
         # flat materialized window frame (multi-referenced by the
         # first-occurrence agg and the decision join — guide §3.3)
         wins = wins.localCheckpoint(eager=False)
-        wins.count()
     first = wins.groupBy("h").agg(F.min(F.struct("doc_id", "s")).alias("f"))
     dup = (
         wins.join(first, "h")
@@ -888,7 +884,6 @@ def remove_shared_windows_screened(
         # flat materialized window frame (multi-referenced by the
         # first-occurrence agg and the decision join — guide §3.3)
         wins = wins.localCheckpoint(eager=False)
-        wins.count()
     cand_keys = wins.groupBy("rk").agg(F.count("*").alias("c")).where(F.col("c") >= 2)
     cand = wins.join(cand_keys.select("rk"), "rk").select("doc_id", "s")
     # pass 2: exact md5 only for candidate windows — group the starts per
@@ -955,7 +950,6 @@ def cross_corpus_contamination(
     tr = doc_shingles(train, text_col, id_col, k).select(
         F.col("doc_id").alias("train_id"), "shingle"
     ).persist()
-    tr.count()
     te = doc_shingles(test, text_col, id_col, k)
     dfc = tr.groupBy("shingle").agg(F.count("*").alias("df"))
     tr_cut = tr.join(dfc.where(F.col("df") <= max_df), "shingle")
@@ -1003,9 +997,7 @@ def contamination_report(
     te = doc_shingles(test, text_col, id_col, k)
     if eager:
         tr.persist()
-        tr.count()
         te.persist()
-        te.count()
     totals = te.groupBy("doc_id").agg(
         F.countDistinct("shingle").alias("n_windows")
     )

@@ -563,7 +563,6 @@ def semantic_dedup(
         # the extra analysis walk affordable here
         .persist()
     )
-    base.count()  # materialize: both self-join sides read the cache, not the lineage
     a = base.alias("a")
     b = base.alias("b")
     pair_cos = F.coalesce(

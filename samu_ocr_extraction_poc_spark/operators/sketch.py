@@ -1212,10 +1212,10 @@ def kmv_group_overlap(
     Returns (lang_a, lang_b, k_used, jaccard_est, union_est).
     """
     mins = _group_sketch_sets(df, k, ngram, n_sub, group_col, text_col).persist()
-    # eager materialization (the lsh_candidate_pairs convention): six plan
-    # branches read `mins`; a lazy persist lets them race to fill the cache
-    # and recompute the sketch pipeline
-    mins.count()
+    # lazy persist (r6): all six plan branches sit under ONE final action,
+    # which fills the cache in a single job (block-level locks serialize
+    # any same-partition race inside a job) - the separate count
+    # materialization was pure overhead
     groups = mins.select(F.col("grp").alias("ga")).distinct()
     pairs = (
         groups.join(mins.select(F.col("grp").alias("gb")).distinct())
