@@ -265,7 +265,6 @@ def lsh_probe_dedup(
     """
     if band_index is not None:
         idx = band_index.select("index_id", "band_id", "band_key")
-        own_index = False
     else:
         if corpus is None:
             raise ValueError("pass either corpus or band_index")
@@ -274,16 +273,13 @@ def lsh_probe_dedup(
             num_hashes,
             rows_per_band,
         ).select(F.col("doc_id").alias("index_id"), "band_id", "band_key")
-        own_index = True
     new_sig = minhash_signatures(batch, text_col, id_col, num_hashes, k)
     if eager:
-        if own_index:
-            # only cache an index derived here: a caller-provided one is a
-            # table scan (or caller-managed cache) whose lifecycle is theirs
-            idx.persist()
-            idx.count()
+        # new_sig feeds the banded probe AND the left-join spine; the idx
+        # is read once by the probe join, so it needs no cache at all.
+        # No pre-count (r6): the single eager action below fills the
+        # cache in one job.
         new_sig.persist()
-        new_sig.count()
     hits = (
         _banded(new_sig, num_hashes, rows_per_band)
         .join(idx, ["band_id", "band_key"])
@@ -304,8 +300,6 @@ def lsh_probe_dedup(
         return out
     out = out.localCheckpoint(eager=True)
     new_sig.unpersist()
-    if own_index:
-        idx.unpersist()
     return out
 
 

@@ -203,7 +203,9 @@ def triangle_counts(und: DataFrame) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).localCheckpoint(eager=True)  # feeds three join sides below
+    ).localCheckpoint(eager=False)  # feeds three join sides below; the
+    # caller's single action fills the checkpoint in one job (r6 - the
+    # eager=True form spent a separate scheduled job here)
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedges = (

@@ -351,50 +351,47 @@ def _sign_buckets(
     arrays through the Python Column API costs ~3000 py4j round trips
     (~5 s of driver time per call, measured) for the identical plan.
     """
+    # The WHOLE projection is built as SQL text and parsed JVM-side in a
+    # handful of expr calls (r6): constructing these nested HOF lambdas
+    # through the Python Column API costs ~5k py4j round trips (~0.7 s of
+    # driver time per call, profiled — the same class of cost as the
+    # plane-literal note below, which round 3 already moved to F.expr).
+    # The parsed expression tree is identical, so every bucket bit — and
+    # the oracle replay — is unchanged.
     n_planes = n_tables * bits_per_table
-    plane_lit = F.expr(
+    plane_sql = (
         "array("
         + ", ".join(
             "array(" + ", ".join(f"{int(v)}L" for v in row) + ")" for row in planes
         )
         + ")"
     )
-    vec = F.col(vec_col)
-    quantized = corpus.select(
-        F.col(id_col).alias("vid"),
-        vec.alias("vec"),
-        F.transform(
-            vec, lambda x: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE))).cast("long")
-        ).alias("q"),
+    quantized = corpus.selectExpr(
+        f"{id_col} AS vid",
+        f"{vec_col} AS vec",
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{float(QUANT_SCALE)}) AS LONG)) AS q",
     )
-    dotted = quantized.select(
+    dotted = quantized.selectExpr(
         "vid",
         "vec",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(n_planes)),
-            lambda p: F.aggregate(
-                F.zip_with(
-                    F.col("q"), F.element_at(plane_lit, p), lambda x, pl: x * pl
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        ).alias("dots"),
+        f"transform(sequence(1, {n_planes}), p -> "
+        f"aggregate(zip_with(q, element_at({plane_sql}, p), (x, pl) -> x * pl), "
+        "CAST(0 AS LONG), (acc, v) -> acc + v)) AS dots",
     )
-    tables = []
-    for t in range(n_tables):
-        bucket = None
-        for i in range(bits_per_table):
-            bit = (
-                F.element_at(F.col("dots"), t * bits_per_table + i + 1) > 0
-            ).cast("long") * F.lit(2 ** i)
-            bucket = bit if bucket is None else bucket + bit
-        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("bkt")))
-    return dotted.select(
-        "vid",
-        "vec",
-        F.explode(F.array(*tables)).alias("tb"),
-    ).select("vid", "vec", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+    tables_sql = "array(" + ", ".join(
+        f"struct({t} AS t, "
+        + " + ".join(
+            f"CAST((element_at(dots, {t * bits_per_table + i + 1}) > 0) AS LONG)"
+            f" * {2 ** i}L"
+            for i in range(bits_per_table)
+        )
+        + " AS bkt)"
+        for t in range(n_tables)
+    ) + ")"
+    return dotted.selectExpr(
+        "vid", "vec", f"explode({tables_sql}) AS tb"
+    ).selectExpr("vid", "vec", "tb.t AS t", "tb.bkt AS bkt")
 
 
 def hyperplane_lsh_pairs(
