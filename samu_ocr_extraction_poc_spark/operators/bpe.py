@@ -33,6 +33,7 @@ unrolled rounds.
 
 from __future__ import annotations
 
+from ..functions.frames import values_frame
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -134,8 +135,10 @@ def bpe_merge_table(
     """:func:`bpe_train` as a DataFrame: (merge_idx, lhs, rhs, merged,
     pair_count) — the contract/oracle surface."""
     rows = bpe_train(df, n_merges=n_merges, text_col=text_col)
-    return spark.createDataFrame(
-        rows, "merge_idx int, lhs string, rhs string, merged string, pair_count bigint"
+    return values_frame(
+        spark,
+        rows,
+        "merge_idx int, lhs string, rhs string, merged string, pair_count bigint",
     )
 
 

@@ -18,6 +18,7 @@ path), all exactly replayable by the DuckDB oracle (contract.py).
 
 from __future__ import annotations
 
+from ..functions.frames import values_frame
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -183,7 +184,7 @@ def global_shuffle(
         acc += n
     spark = df.sparkSession
     off = F.broadcast(
-        spark.createDataFrame(offsets, "bucket bigint, off bigint")
+        values_frame(spark, offsets, "bucket bigint, off bigint")
     )
     w = Window.partitionBy("bucket").orderBy("k", "doc_id")
     pos = (F.col("off") + F.row_number().over(w)).cast("bigint")
@@ -908,8 +909,8 @@ def vocab_coverage(
         F.sum("n_types").cast("bigint").alias("total_types"),
         F.sum(F.col("cnt") * F.col("n_types")).cast("bigint").alias("total"),
     )
-    sizes_df = df.sparkSession.createDataFrame(
-        [(int(v),) for v in sizes], "v bigint"
+    sizes_df = values_frame(
+        df.sparkSession, [(int(v),) for v in sizes], "v bigint"
     )
     veff = F.least(F.col("v"), F.col("total_types"))
     hit = (

@@ -16,6 +16,7 @@ partitionings — DuckDB replays it with the same md5 arithmetic.
 
 from __future__ import annotations
 
+from ..functions.frames import values_frame
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -128,10 +129,16 @@ def bloom_build(
         .groupBy("word_idx")
         .agg(F.expr("bit_or(b)").cast("bigint").alias("bits"))
     )
-    meta = df.sparkSession.createDataFrame(
-        [(_BLOOM_META_M, m_bits), (_BLOOM_META_K, k)], "word_idx bigint, bits bigint"
+    meta = values_frame(
+        df.sparkSession,
+        [(_BLOOM_META_M, m_bits), (_BLOOM_META_K, k)],
+        "word_idx bigint, bits bigint",
     )
-    return words.unionByName(meta)
+    # prune-enabling no-op filter (r6): every real row's sentinel key is
+    # >= 0 by construction, and stating it lets Catalyst constant-fold a
+    # handshake's sentinel-only read (key < 0) to the literal meta branch
+    # instead of scanning the whole build input per handshake
+    return words.where(F.col("word_idx") >= 0).unionByName(meta)
 
 
 def bloom_probe(
@@ -267,11 +274,16 @@ def cms_build(
         .groupBy("d", "c")
         .agg(F.sum("w__").alias("cnt"))
     )
-    meta = df.sparkSession.createDataFrame(
+    meta = values_frame(
+        df.sparkSession,
         [(_CMS_META_W, 0, width), (_CMS_META_D, 0, depth)],
         "d bigint, c bigint, cnt bigint",
     )
-    return cells.unionByName(meta)
+    # prune-enabling no-op filter (r6): every real row's sentinel key is
+    # >= 0 by construction, and stating it lets Catalyst constant-fold a
+    # handshake's sentinel-only read (key < 0) to the literal meta branch
+    # instead of scanning the whole build input per handshake
+    return cells.where(F.col("d") >= 0).unionByName(meta)
 
 
 def _cms_handshake(frame: DataFrame, what: str, width: int, depth: int) -> None:
@@ -582,11 +594,16 @@ def hist_build(
         .groupBy("b")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
-    meta = df.sparkSession.createDataFrame(
+    meta = values_frame(
+        df.sparkSession,
         [(_HIST_META_LO, lo), (_HIST_META_HI, hi), (_HIST_META_N, n_bins)],
         "b bigint, cnt bigint",
     )
-    return cells.unionByName(meta)
+    # prune-enabling no-op filter (r6): every real row's sentinel key is
+    # >= 0 by construction, and stating it lets Catalyst constant-fold a
+    # handshake's sentinel-only read (key < 0) to the literal meta branch
+    # instead of scanning the whole build input per handshake
+    return cells.where(F.col("b") >= 0).unionByName(meta)
 
 
 def _hist_handshake(
@@ -672,7 +689,7 @@ def hist_quantiles(
         .groupBy(F.col("a.b").alias("b"), F.col("a.cnt").alias("cnt"))
         .agg(F.sum("c.cnt").cast("bigint").alias("cum"))
     )
-    percs = spark.createDataFrame([(int(p),) for p in percentiles], "p bigint")
+    percs = values_frame(spark, [(int(p),) for p in percentiles], "p bigint")
     ranked = percs.crossJoin(F.broadcast(total)).select(
         "p",
         F.greatest(F.lit(1), F.expr("(n_total * p + 99) DIV 100"))
@@ -777,8 +794,8 @@ def grouped_quantiles(
         .groupBy("a.g__", "a.b", "a.cnt")
         .agg(F.sum("ccnt").cast("bigint").alias("cum"))
     )
-    percs = df.sparkSession.createDataFrame(
-        [(int(p),) for p in percentiles], "p bigint"
+    percs = values_frame(
+        df.sparkSession, [(int(p),) for p in percentiles], "p bigint"
     )
     ranked = total.crossJoin(F.broadcast(percs)).select(
         "g__",
@@ -898,10 +915,16 @@ def hll_build(
     are identical by construction (pinned by test)."""
     _hll_check_params(p, w_bits)
     cells = _hll_cells(df, key_col, p, w_bits, pre_hashed=pre_hashed)
-    meta = df.sparkSession.createDataFrame(
-        [(_HLL_META_P, p), (_HLL_META_W, w_bits)], "bucket bigint, r bigint"
+    meta = values_frame(
+        df.sparkSession,
+        [(_HLL_META_P, p), (_HLL_META_W, w_bits)],
+        "bucket bigint, r bigint",
     )
-    return cells.unionByName(meta)
+    # prune-enabling no-op filter (r6): every real row's sentinel key is
+    # >= 0 by construction, and stating it lets Catalyst constant-fold a
+    # handshake's sentinel-only read (key < 0) to the literal meta branch
+    # instead of scanning the whole build input per handshake
+    return cells.where(F.col("bucket") >= 0).unionByName(meta)
 
 
 def _hll_cells(
@@ -1108,11 +1131,20 @@ def hll_build_grouped(
     unchanged."""
     _hll_check_params(p, w_bits)
     cells = _hll_cells(df, key_col, p, w_bits, group_col=group_col, pre_hashed=pre_hashed)
-    meta = df.sparkSession.createDataFrame(
+    meta = values_frame(
+        df.sparkSession,
         [(_HLL_META_P, p), (_HLL_META_W, w_bits), (_HLL_META_G, 1)],
         "bucket bigint, r bigint",
     ).select(F.lit(None).cast(cells.schema["g__"].dataType).alias("g__"), "bucket", "r")
-    return cells.unionByName(meta).withColumnRenamed("g__", group_col)
+    # prune-enabling no-op filter (r6): every real row's sentinel key is
+    # >= 0 by construction, and stating it lets Catalyst constant-fold a
+    # handshake's sentinel-only read (key < 0) to the literal meta branch
+    # instead of scanning the whole build input per handshake
+    return (
+        cells.where(F.col("bucket") >= 0)
+        .unionByName(meta)
+        .withColumnRenamed("g__", group_col)
+    )
 
 
 def hll_estimate_grouped(
