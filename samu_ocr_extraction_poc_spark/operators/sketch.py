@@ -1106,6 +1106,20 @@ def hll_estimate(
     return _hll_readoff(agg, p, w_bits)
 
 
+def _hll_check_group_col(group_col: str) -> None:
+    """Reject group columns that collide with the register-table schema
+    (ADVICE r5): withColumnRenamed("g__", group_col) with group_col in
+    {"bucket", "r"} silently produces a duplicate-named column (and the
+    estimate's reverse rename becomes ambiguous), corrupting the register
+    table instead of erroring."""
+    if group_col in {"bucket", "r", "g__"}:
+        raise ValueError(
+            f"grouped HLL: group_col {group_col!r} collides with the "
+            "register-table schema columns {'bucket', 'r', 'g__'}; rename "
+            "the group column first"
+        )
+
+
 def hll_build_grouped(
     df: DataFrame,
     group_col: str,
@@ -1130,6 +1144,7 @@ def hll_build_grouped(
     global build's. Mergeable per group by MAX, the hll_merge property
     unchanged."""
     _hll_check_params(p, w_bits)
+    _hll_check_group_col(group_col)
     cells = _hll_cells(df, key_col, p, w_bits, group_col=group_col, pre_hashed=pre_hashed)
     meta = values_frame(
         df.sparkSession,
@@ -1164,6 +1179,7 @@ def hll_estimate_grouped(
     n_zero, z_scaled, est). Same raw-estimate contract as the global
     read-off: the linear-counting branch is deliberately absent (ln is
     FP), n_zero flags the regime."""
+    _hll_check_group_col(group_col)
     reg = reg.withColumnRenamed(group_col, "g__")
     # handshake on the meta rows (NULL group); _hll_handshake filters
     # bucket < 0, which selects exactly the sentinels incl. the marker

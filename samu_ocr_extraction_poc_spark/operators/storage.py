@@ -90,6 +90,17 @@ def zorder_file_stats(
     scale = 1 << bits
     span_x = x_hi - x_lo + 1
     span_y = y_hi - y_lo + 1
+    # overflow guard (ADVICE r5, the hist_build clamp-first class): the
+    # scale multiply's max operand is (span - 1) * 2^bits; on Spark
+    # (non-ANSI) a BIGINT overflow would WRAP silently into a wrong cell
+    # while DuckDB raises — a latent cross-engine divergence for extreme
+    # caller-supplied bounds. Fail loud instead, like decayed_counts.
+    if max(span_x - 1, span_y - 1) * scale > (1 << 63) - 1:
+        raise ValueError(
+            "zorder_file_stats: (hi - lo) * 2^bits exceeds BIGINT for "
+            f"x=[{x_lo},{x_hi}] y=[{y_lo},{y_hi}] bits={bits}; shrink the "
+            "bounds or bits"
+        )
     cells = df.select(
         F.col(x_col).cast("bigint").alias("x"),
         F.col(y_col).cast("bigint").alias("y"),

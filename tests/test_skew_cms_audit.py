@@ -278,3 +278,21 @@ def test_hll_grouped_and_global_cross_reads_refuse(spark):
         hll_merge(greg, greg)
     with pytest.raises(ValueError, match="hll meta mismatch"):
         hll_estimate_grouped(hll_build(df, "key"), "g")
+
+
+def test_hll_grouped_rejects_schema_colliding_group_col(spark):
+    """group_col in {bucket, r, g__} would silently duplicate a register
+    column through withColumnRenamed instead of erroring (ADVICE r5)."""
+    from samu_ocr_extraction_poc_spark.operators.sketch import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "bucket string, key string"
+    )
+    for bad in ("bucket", "r", "g__"):
+        with pytest.raises(ValueError, match="collides"):
+            hll_build_grouped(df.withColumnRenamed("bucket", bad), bad, "key")
+        with pytest.raises(ValueError, match="collides"):
+            hll_estimate_grouped(df, bad)

@@ -132,6 +132,12 @@ def test_zorder_expr_validates_bits_and_bounds(spark):
         zorder_file_stats(df, "x", "y", 5, 4, 0, 9)
     with pytest.raises(ValueError, match="cells_per_file"):
         zorder_file_stats(df, "x", "y", 0, 9, 0, 9, cells_per_file=0)
+    # span * 2^bits past BIGINT would WRAP on Spark (non-ANSI) where DuckDB
+    # raises — the guard fails loud instead (ADVICE r5)
+    with pytest.raises(ValueError, match="exceeds BIGINT"):
+        zorder_file_stats(df, "x", "y", 0, (1 << 60) - 1, 0, 9, bits=16)
+    # a span that exactly fits stays accepted
+    zorder_file_stats(df, "x", "y", 0, (1 << 40) - 1, 0, 9, bits=16)
 
 
 def test_zorder_plan_is_one_bounded_groupby_no_window(spark):
