@@ -1161,7 +1161,18 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds "
             "(graph diameter exceeds max_iter); raise max_iter"
         )
-    out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+    # eager localCheckpoint (r6): the persisted labels frame still CARRIES
+    # the whole loop's logical lineage (~2 Exchanges x rounds nested — the
+    # r6 plan diff counted 694 Exchange nodes in the nominal final plan),
+    # so every downstream action re-paid Catalyst analysis of the full
+    # loop tree before hitting the cache. The flat LogicalRDD hand-off is
+    # the same discipline the star variant and kmeans_assign already use;
+    # it also lets the loop's own frames be released here instead of
+    # leaking the last round's cache into the caller.
+    out = labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component")
+    ).localCheckpoint(eager=True)
+    _release_frame(labels)
     _release_frame(edges)
     return out
 

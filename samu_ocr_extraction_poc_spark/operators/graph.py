@@ -116,6 +116,18 @@ def pagerank(
     )
     n = node_t.count()
     teleport = ((100 - damping_pct) * (scale // n)) // 100
+    # A checkpointed LogicalRDD carries NO size statistics, so without a
+    # hint every per-iteration join planned as SortMergeJoin (16 extra
+    # sort+exchange pairs for 8 rounds — the semantic_dedup stats lesson,
+    # observed as SMJ 0->16 in the r6 plan diff). The rank/degree/share
+    # tables are all <= n rows; gate an explicit broadcast on the SAME
+    # size logic the planner would apply if it had stats (~64 bytes/row
+    # vs the 10 MB autoBroadcastJoinThreshold). Above the bound the joins
+    # stay sort-merge — at 10^9 nodes broadcasting ranks would be wrong,
+    # and n is already collected for the teleport term, so the gate costs
+    # nothing extra.
+    _bcast = n * 64 < 10 * 1024 * 1024
+    _hint = F.broadcast if _bcast else (lambda d: d)
     # All joins below are name-based using-joins on freshly-aliased
     # columns: from iteration 2 the ranks lineage contains the edge
     # table, and dataframe-attribute references (df["col"]) trip Spark's
@@ -130,16 +142,16 @@ def pagerank(
     # inside F.expr and must not shadow the column reference.
     ranks = node_t.select("node", F.lit(scale // n).cast("bigint").alias("pr"))
     for it in range(1, iterations + 1):
-        shares = ranks.join(out_deg, "node").select(
+        shares = ranks.join(_hint(out_deg), "node").select(
             F.col("node").alias("src"), F.expr("pr DIV out_deg").alias("share")
         )
         contrib = (
-            edges.join(shares, "src")
+            edges.join(_hint(shares), "src")
             .groupBy("dst")
             .agg(F.sum("share").alias("c"))
             .withColumnRenamed("dst", "node")
         )
-        ranks = node_t.join(contrib, "node", "left").select(
+        ranks = node_t.join(_hint(contrib), "node", "left").select(
             "node",
             (
                 F.lit(teleport).cast("bigint")
