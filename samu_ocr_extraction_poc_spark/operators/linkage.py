@@ -129,8 +129,15 @@ def blocked_link_pairs(records: DataFrame, threshold: int = DEFAULT_THRESHOLD) -
     is_true = 1 iff the pair's ground-truth entity ids agree (available
     because the records are synthesised; a production caller drops it).
     """
+    # materialize the record table ONCE (r6): it is read by four plan
+    # branches (both blocking passes and both sides of the scoring join),
+    # and for the synthesised caller each branch re-ran the ~6-md5-per-row
+    # perturbation plus the corpus scan/repartition. Eager localCheckpoint
+    # computes it a single time and hands every branch a flat base
+    # (guide §1.2 "don't compute things you throw away"; the AQE runtime
+    # size check still broadcasts the scoring sides when they fit).
     r = records.select("rec_id", "entity_id", "name_digits", "nationkey",
-                       "cents", "segment")
+                       "cents", "segment").localCheckpoint(eager=True)
 
     def pass_pairs(keyed: DataFrame) -> DataFrame:
         a = keyed.select(F.col("bk"), F.col("rec_id").alias("rec_a"))
