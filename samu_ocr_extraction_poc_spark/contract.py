@@ -4180,10 +4180,14 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph as GR
 
     docs = _t(spark, sf_dir, "documents")
-    edges = GR.synth_link_graph(docs, n_links=3, salt="pr").localCheckpoint(
+    # doc_id is the primary key, so |distinct ids| == |docs| — count it
+    # ONCE and hand it to both operators (each would otherwise run its
+    # own distinct+count job over the same id set; value-identical)
+    n_docs = docs.select("doc_id").distinct().count()
+    edges = GR.synth_link_graph(docs, n_links=3, salt="pr", n=n_docs).localCheckpoint(
         eager=True
     )
-    ranks = GR.pagerank(docs, edges, iterations=8)
+    ranks = GR.pagerank(docs, edges, iterations=8, n=n_docs)
     # name-based joins: ranks' lineage contains the edge table, so
     # attribute refs would trip the ambiguous-self-join check
     out_deg = (

@@ -42,6 +42,7 @@ def synth_link_graph(
     id_col: str = "doc_id",
     n_links: int = 3,
     salt: str = "pr",
+    n: int | None = None,
 ) -> DataFrame:
     """Deterministic synthetic link graph over an id space: node u emits
     ``n_links`` directed edges whose targets are md5-uniform draws from
@@ -52,7 +53,11 @@ def synth_link_graph(
 
     Returns (src, dst) BIGINT edges.
     """
-    n = nodes.select(id_col).distinct().count()
+    # n may be passed by a caller that already knows |nodes| (the pagerank
+    # contract entry counts the same id set twice otherwise — one
+    # distinct+count job saved; value-identical by definition)
+    if n is None:
+        n = nodes.select(id_col).distinct().count()
     ids = nodes.select(F.col(id_col).cast("bigint").alias("src")).distinct()
     raw = ids.select(
         "src", F.explode(F.sequence(F.lit(1), F.lit(n_links))).alias("j")
@@ -81,6 +86,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = PR_SCALE,
     checkpoint_every: int = 16,
+    n: int | None = None,
 ) -> DataFrame:
     """All-integer fixed-point PageRank (Page et al. 1999; damping as the
     integer percentage ``damping_pct``).
@@ -114,7 +120,8 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n = node_t.count()
+    if n is None:
+        n = node_t.count()
     teleport = ((100 - damping_pct) * (scale // n)) // 100
     # A checkpointed LogicalRDD carries NO size statistics, so without a
     # hint every per-iteration join planned as SortMergeJoin (16 extra

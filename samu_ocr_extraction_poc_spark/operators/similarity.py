@@ -278,8 +278,17 @@ def kmeans_assign(
         if it < iterations - 1:
             # recompute: one narrow explode + partial-agg avg per
             # (cluster, dim), collected (k x d rows) for the next literal
+            # assignment projected BEFORE the posexplode (r6): fused into
+            # one select, the Generate node's input projection evaluates
+            # the k x d argmin expression per generator invocation; the
+            # split projection evaluates it once per row and feeds the
+            # explode a finished scalar (measured 0.93 -> 0.73 s per
+            # recompute job at sf0.1). The aggregation tree is unchanged,
+            # so every avg is bit-identical (the kmeans oracle's
+            # cross-engine double-sum argument is untouched).
             rows = (
-                base.select(cl.alias("cluster"), F.posexplode("v").alias("dim", "val"))
+                base.select(cl.alias("cluster"), "v")
+                .select("cluster", F.posexplode("v").alias("dim", "val"))
                 .groupBy("cluster", "dim")
                 .agg(F.avg("val").alias("cval"))
                 .collect()
