@@ -1155,8 +1155,13 @@ def connected_components(
         prev_sum = new_sum
     if not converged:
         # falling off the loop would silently return WRONG components (a
-        # chain longer than max_iter splits into bogus pieces) — fail loud
-        edges.unpersist()
+        # chain longer than max_iter splits into bogus pieces) — fail loud.
+        # _release_frame, not plain unpersist (r6 review): unpersist is a
+        # no-op for the localCheckpoint-ed edges, and the last round's
+        # labels would otherwise stay pinned across the caller's
+        # raise-max_iter retry.
+        _release_frame(labels)
+        _release_frame(edges)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(graph diameter exceeds max_iter); raise max_iter"

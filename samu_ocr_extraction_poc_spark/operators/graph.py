@@ -113,8 +113,13 @@ def pagerank(
     # flat materialized node table (r6): node_t and out_deg are referenced
     # by EVERY iteration's plan, so with lineage-bearing frames the final
     # action's analysis walks `iterations` copies of the upstream scan
-    # plan; the count below doubles as n (same distinct id set) and
-    # materializes the checkpoint (guide §3.3)
+    # plan. With n=None the count below doubles as n (same distinct id
+    # set) and materializes the checkpoint (guide §3.3); a caller-passed
+    # n is TRUSTED — it must equal count(distinct cast(id as bigint)) or
+    # the teleport term and seed mass are silently wrong (the contract
+    # entry passes the doc_id primary-key count, identical by
+    # definition). The first iteration's join then materializes the
+    # checkpoint instead.
     node_t = (
         nodes.select(F.col(id_col).cast("bigint").alias("node"))
         .distinct()

@@ -135,7 +135,12 @@ def blocked_link_pairs(records: DataFrame, threshold: int = DEFAULT_THRESHOLD) -
     # perturbation plus the corpus scan/repartition. Eager localCheckpoint
     # computes it a single time and hands every branch a flat base
     # (guide §1.2 "don't compute things you throw away"; the AQE runtime
-    # size check still broadcasts the scoring sides when they fit).
+    # size check still broadcasts the scoring sides when they fit). The
+    # RESULT is eager-checkpointed below so this base can be released
+    # before returning (the pair-operator convention) — a lazy return
+    # would pin the full record copy for the caller's lifetime.
+    from .dedup import _release_frame
+
     r = records.select("rec_id", "entity_id", "name_digits", "nationkey",
                        "cents", "segment").localCheckpoint(eager=True)
 
@@ -195,4 +200,6 @@ def blocked_link_pairs(records: DataFrame, threshold: int = DEFAULT_THRESHOLD) -
             .alias("is_true"),
         )
     )
-    return scored.where(F.col("score") >= threshold)
+    out = scored.where(F.col("score") >= threshold).localCheckpoint(eager=True)
+    _release_frame(r)
+    return out

@@ -755,6 +755,7 @@ def grouped_quantiles(
     produce no rows (out-of-range values clamp into the edge bins, the
     hist_build contract).
     """
+    _check_group_col(group_col, _QUANTILE_GROUP_RESERVED, "grouped_quantiles")
     span = hi - lo
     cells = (
         df.select(
@@ -1106,18 +1107,33 @@ def hll_estimate(
     return _hll_readoff(agg, p, w_bits)
 
 
-def _hll_check_group_col(group_col: str) -> None:
-    """Reject group columns that collide with the register-table schema
-    (ADVICE r5): withColumnRenamed("g__", group_col) with group_col in
-    {"bucket", "r"} silently produces a duplicate-named column (and the
-    estimate's reverse rename becomes ambiguous), corrupting the register
-    table instead of erroring."""
-    if group_col in {"bucket", "r", "g__"}:
+def _check_group_col(group_col: str, reserved: frozenset, what: str) -> None:
+    """Reject group columns that collide with an operator's own schema
+    (ADVICE r5 + r6 review): withColumnRenamed("g__", group_col) with a
+    colliding name silently produces a duplicate-named output column —
+    a later select throws AMBIGUOUS_REFERENCE or a write emits duplicate
+    columns instead of erroring here."""
+    if group_col in reserved:
         raise ValueError(
-            f"grouped HLL: group_col {group_col!r} collides with the "
-            "register-table schema columns {'bucket', 'r', 'g__'}; rename "
-            "the group column first"
+            f"{what}: group_col {group_col!r} collides with the operator's "
+            f"schema columns {sorted(reserved)}; rename the group column "
+            "first"
         )
+
+
+# register-table schema + the grouped estimate read-off's output columns:
+# a build keyed by one of the latter would only ever be rejected at
+# estimate time, so the build fails loud too
+_HLL_GROUP_RESERVED = frozenset(
+    {"bucket", "r", "g__", "m", "occupied", "n_zero", "z_scaled", "est"}
+)
+_QUANTILE_GROUP_RESERVED = frozenset(
+    {"g__", "p", "rnk", "est", "bin_lo", "bin_hi"}
+)
+
+
+def _hll_check_group_col(group_col: str) -> None:
+    _check_group_col(group_col, _HLL_GROUP_RESERVED, "grouped HLL")
 
 
 def hll_build_grouped(

@@ -291,8 +291,25 @@ def test_hll_grouped_rejects_schema_colliding_group_col(spark):
     df = spark.createDataFrame(
         [("a", "x"), ("b", "y")], "bucket string, key string"
     )
-    for bad in ("bucket", "r", "g__"):
+    for bad in ("bucket", "r", "g__", "est", "m", "occupied", "n_zero",
+                "z_scaled"):
         with pytest.raises(ValueError, match="collides"):
             hll_build_grouped(df.withColumnRenamed("bucket", bad), bad, "key")
         with pytest.raises(ValueError, match="collides"):
             hll_estimate_grouped(df, bad)
+
+
+def test_grouped_quantiles_rejects_schema_colliding_group_col(spark):
+    """Same defect class as the HLL guard: the g__ -> group_col reverse
+    rename duplicates an output column for group_col in the read-off's
+    own schema (r6 review)."""
+    from samu_ocr_extraction_poc_spark.operators.sketch import (
+        grouped_quantiles,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "g string, v long")
+    for bad in ("p", "rnk", "est", "bin_lo", "bin_hi", "g__"):
+        with pytest.raises(ValueError, match="collides"):
+            grouped_quantiles(
+                df.withColumnRenamed("g", bad), bad, "v", [50]
+            )
